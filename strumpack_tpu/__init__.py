@@ -1,0 +1,23 @@
+"""strumpack_tpu — TPU-native structured sparse solver framework.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of STRUMPACK
+(sparse multifrontal LU with rank-structured front compression, outer Krylov
+solvers, structured dense matrix algebra, kernel-matrix regression), designed
+level-batched and mesh-sharded for TPUs.  See SURVEY.md for the reference
+structural analysis this is built against.
+"""
+
+from .options import (BLROptions, CompressionType, EquilibrationType,
+                      GramSchmidtType, HSSOptions, KrylovSolver, MatchingJob,
+                      ReorderingStrategy, SPOptions)
+from .solver import SparseSolver
+from .sparse.csr import CSRMatrix
+from .utils.params import ReturnCode
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SparseSolver", "SPOptions", "CSRMatrix", "ReturnCode",
+    "ReorderingStrategy", "CompressionType", "MatchingJob", "KrylovSolver",
+    "GramSchmidtType", "EquilibrationType", "BLROptions", "HSSOptions",
+]

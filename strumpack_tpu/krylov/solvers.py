@@ -1,0 +1,178 @@
+"""Outer Krylov solvers: iterative refinement, restarted GMRES, BiCGStab.
+
+Role of the reference's ``iterative/`` layer (IterativeSolvers.hpp:56-141):
+callback-based solvers taking an ``spmv`` and a preconditioner ``prec``
+closure, with classical or modified Gram-Schmidt for GMRES
+(GramSchmidtType, GMRes.cpp:43-160 — restart + Givens rotations) and the
+sparse iterative refinement of IterativeRefinement.cpp:48.
+
+Vectors are device arrays; the per-iteration scalar recurrences run on host
+(one device sync per iteration, matching the latency profile of the
+reference's allreduce-per-dot MPI variants).  Each solver returns
+(x, iterations, achieved_relative_residual).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _norm(v):
+    return float(jnp.linalg.norm(v))
+
+
+def iterative_refinement(spmv, prec, b, x0=None, rtol=1e-6, atol=1e-10,
+                         maxit=50, verbose=False):
+    """x_{k+1} = x_k + M^{-1}(b - A x_k).  IterativeRefinement.cpp:48."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    bnorm = _norm(b)
+    if bnorm == 0.0:
+        return x, 0, 0.0
+    it, rnorm = 0, np.inf
+    for it in range(1, maxit + 1):
+        r = b - spmv(x)
+        rnorm = _norm(r)
+        if verbose:
+            print(f"# IR it {it-1} res {rnorm:.6e} rel {rnorm/bnorm:.6e}")
+        if rnorm <= max(rtol * bnorm, atol):
+            return x, it - 1, rnorm / bnorm
+        x = x + prec(r)
+    r = b - spmv(x)
+    return x, it, _norm(r) / bnorm
+
+
+def gmres(spmv, prec, b, x0=None, rtol=1e-6, atol=1e-10, maxit=500,
+          restart=30, gram_schmidt="modified", verbose=False):
+    """Left-preconditioned restarted GMRES with Givens rotations.
+
+    Matches GMRes.cpp:43-160: solves M^{-1} A x = M^{-1} b, monitoring the
+    preconditioned residual; classical ("classical") or modified
+    ("modified") Gram-Schmidt.
+    """
+    if prec is None:
+        prec = lambda v: v
+    x = jnp.zeros_like(b) if x0 is None else x0
+    totit = 0
+    rho0 = None
+    rho = None
+    while totit < maxit:
+        r = prec(b - spmv(x)) if (totit > 0 or x0 is not None) else prec(b)
+        rho = _norm(r)
+        if rho0 is None:
+            rho0 = rho if rho > 0 else 1.0
+            if rho <= atol:
+                return x, 0, rho / rho0
+        V = [r / rho]
+        m = restart
+        is_cplx = jnp.issubdtype(b.dtype, jnp.complexfloating)
+        hdt = np.complex128 if is_cplx else np.float64
+        H = np.zeros((m + 1, m), dtype=hdt)
+        givens = []
+        g = np.zeros(m + 1, dtype=hdt)
+        g[0] = rho
+        k = -1
+        for k in range(m):
+            w = prec(spmv(V[k]))
+            if gram_schmidt == "classical":
+                hs = jnp.stack([jnp.vdot(V[j], w) for j in range(k + 1)])
+                H[:k + 1, k] = np.asarray(hs)
+                w = w - sum(hs[j] * V[j] for j in range(k + 1))
+            else:  # modified
+                for j in range(k + 1):
+                    h = jnp.vdot(V[j], w)
+                    H[j, k] = np.asarray(h)
+                    w = w - h * V[j]
+            H[k + 1, k] = _norm(w)
+            # apply existing Givens rotations to column k
+            for j, (c, s) in enumerate(givens):
+                t = c * H[j, k] + s * H[j + 1, k]
+                H[j + 1, k] = -np.conj(s) * H[j, k] + c * H[j + 1, k]
+                H[j, k] = t
+            # new rotation annihilating H[k+1, k]
+            denom = np.sqrt(abs(H[k, k]) ** 2 + abs(H[k + 1, k]) ** 2)
+            if denom == 0.0:
+                c, s = 1.0, 0.0
+            elif H[k, k] == 0:
+                c, s = 0.0, 1.0
+            else:
+                c = abs(H[k, k]) / denom
+                s = (H[k, k] / abs(H[k, k])) * np.conj(H[k + 1, k]) / denom
+            givens.append((c, s))
+            t = c * g[k] + s * g[k + 1]
+            g[k + 1] = -np.conj(s) * g[k] + c * g[k + 1]
+            g[k] = t
+            H[k, k] = c * H[k, k] + s * H[k + 1, k]
+            H[k + 1, k] = 0.0
+            totit += 1
+            rho = abs(g[k + 1])
+            if verbose:
+                print(f"# GMRES it {totit} res {rho:.6e} rel {rho/rho0:.6e}")
+            if rho <= max(rtol * rho0, atol) or totit >= maxit:
+                break
+            if H[k + 1, k] == 0 and _norm(w) == 0:
+                break
+            V.append(w / H[k + 1, k] if H[k + 1, k] != 0 else w)
+        # solve the triangular system and update x
+        kk = k + 1
+        ysol = np.zeros(kk, dtype=complex if np.iscomplexobj(H) else float)
+        for i in range(kk - 1, -1, -1):
+            ysol[i] = (g[i] - H[i, i + 1:kk] @ ysol[i + 1:kk]) / H[i, i]
+        dx = sum(jnp.asarray(ysol[i]).astype(V[0].dtype) * V[i]
+                 for i in range(kk))
+        x = x + dx
+        if rho <= max(rtol * rho0, atol):
+            break
+    return x, totit, rho / rho0 if rho0 else 0.0
+
+
+def bicgstab(spmv, prec, b, x0=None, rtol=1e-6, atol=1e-10, maxit=500,
+             verbose=False):
+    """Preconditioned BiCGStab.  BiCGStab.cpp:41."""
+    if prec is None:
+        prec = lambda v: v
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - spmv(x)
+    rt = r
+    bnorm = _norm(b)
+    if bnorm == 0:
+        return x, 0, 0.0
+    rho_old = alpha = omega = 1.0
+    v = p = jnp.zeros_like(b)
+    it = 0
+    rnorm = _norm(r)
+    for it in range(1, maxit + 1):
+        if rnorm <= max(rtol * bnorm, atol):
+            return x, it - 1, rnorm / bnorm
+        rho = np.asarray(jnp.vdot(rt, r)).item()
+        if rho == 0:
+            break
+        if it == 1:
+            p = r
+        else:
+            beta = (rho / rho_old) * (alpha / omega)
+            p = r + beta * (p - omega * v)
+        phat = prec(p)
+        v = spmv(phat)
+        denom = np.asarray(jnp.vdot(rt, v)).item()
+        if denom == 0:
+            break
+        alpha = rho / denom
+        s = r - alpha * v
+        if _norm(s) <= atol:
+            x = x + alpha * phat
+            r = s
+            rnorm = _norm(r)
+            continue
+        shat = prec(s)
+        t = spmv(shat)
+        tt = np.asarray(jnp.vdot(t, t)).item()
+        omega = np.asarray(jnp.vdot(t, s)).item() / tt if tt != 0 else 0.0
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_old = rho
+        rnorm = _norm(r)
+        if verbose:
+            print(f"# BiCGStab it {it} res {rnorm:.6e} rel {rnorm/bnorm:.6e}")
+        if omega == 0:
+            break
+    return x, it, rnorm / bnorm

@@ -1,0 +1,203 @@
+"""Solver configuration: SPOptions and the --sp_* CLI convention.
+
+Role of the reference's ``StrumpackOptions.{hpp,cpp}`` (SPOptions at :217,
+enums at :51-178, getopt_long CLI parser at :626 area).  Flag names keep the
+reference's ``--sp_*`` prefixes for driveability; every options object
+supports ``set_from_command_line(argv)`` like every reference test/example
+does (test/test_sparse_seq.cpp:47).
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+class ReorderingStrategy(enum.Enum):  # StrumpackOptions.hpp:61
+    NATURAL = "natural"
+    METIS = "metis"          # mapped to the built-in general ND
+    ND = "nd"                # built-in BFS-bisection nested dissection
+    GEOMETRIC = "geometric"
+    RCM = "rcm"
+    AMD = "amd"
+
+
+class CompressionType(enum.Enum):  # StrumpackOptions.hpp:92
+    NONE = "none"
+    BLR = "blr"
+    HSS = "hss"
+    HODLR = "hodlr"
+    LOSSY = "lossy"
+
+
+class MatchingJob(enum.Enum):  # StrumpackOptions.hpp:120
+    NONE = "none"
+    MAX_DIAGONAL_PRODUCT_SCALING = "mpds"  # MC64 job 5 analog
+
+
+class EquilibrationType(enum.Enum):  # StrumpackOptions.hpp:132
+    NONE = "none"
+    ROW = "row"
+    COLUMN = "col"
+    BOTH = "both"
+
+
+class KrylovSolver(enum.Enum):  # StrumpackOptions.hpp:166
+    AUTO = "auto"
+    DIRECT = "direct"
+    REFINE = "refine"
+    PREC_GMRES = "prec_gmres"
+    GMRES = "gmres"
+    PREC_BICGSTAB = "prec_bicgstab"
+    BICGSTAB = "bicgstab"
+
+
+class GramSchmidtType(enum.Enum):  # StrumpackOptions.hpp:157
+    CLASSICAL = "classical"
+    MODIFIED = "modified"
+
+
+class ProportionalMapping(enum.Enum):  # StrumpackOptions.hpp:51
+    FLOPS = "flops"
+    FACTOR_MEMORY = "factor_memory"
+    PEAK_MEMORY = "peak_memory"
+
+
+@dataclass
+class BLROptions:
+    """--blr_* options (BLR/BLROptions.hpp:128-140 defaults)."""
+    rel_tol: float = 1e-4
+    abs_tol: float = 1e-10
+    leaf_size: int = 256
+    max_rank: int = 5000
+
+
+@dataclass
+class HSSOptions:
+    """--hss_* options (HSS/HSSOptions.hpp:465-489 defaults)."""
+    rel_tol: float = 1e-2
+    abs_tol: float = 1e-8
+    leaf_size: int = 512
+    d0: int = 128
+    dd: int = 64
+    max_rank: int = 5000
+
+
+@dataclass
+class SPOptions:
+    verbose: bool = False
+    # outer solver (StrumpackOptions.hpp:166-199,1308)
+    krylov_solver: KrylovSolver = KrylovSolver.AUTO
+    rel_tol: float = 1e-6
+    abs_tol: float = 1e-10
+    maxit: int = 5000
+    gmres_restart: int = 30
+    gram_schmidt: GramSchmidtType = GramSchmidtType.MODIFIED
+    # reordering
+    reordering_method: ReorderingStrategy = ReorderingStrategy.ND
+    nd_leaf: int = 16
+    nx: int = 0
+    ny: int = 1
+    nz: int = 1
+    components: int = 1
+    separator_width: int = 1
+    # scaling / matching
+    matching: MatchingJob = MatchingJob.NONE
+    equilibration: bool = True
+    # pivoting
+    pivoting: bool = True
+    replace_tiny_pivots: bool = True
+    # compression (FrontFactory thresholds, StrumpackOptions.hpp:601-666)
+    compression: CompressionType = CompressionType.NONE
+    compression_min_sep_size: int = 256
+    compression_min_front_size: int = 512
+    compression_leaf_size: int = 128
+    blr: BLROptions = field(default_factory=BLROptions)
+    hss: HSSOptions = field(default_factory=HSSOptions)
+    # numeric dtypes (TPU-first: f32 factor + f64 refinement by default on
+    # TPU; tests on CPU may use f64 factor directly)
+    factor_dtype: str = "float64"
+    refine_dtype: str = "float64"
+
+    def set_from_command_line(self, argv) -> list:
+        """Parse --sp_/--blr_/--hss_ flags; returns unrecognized args."""
+        rest = []
+        i = 0
+        argv = list(argv)
+        enum_map = {
+            "sp_reordering_method": ("reordering_method", ReorderingStrategy),
+            "sp_compression": ("compression", CompressionType),
+            "sp_matching": ("matching", MatchingJob),
+            "sp_Krylov_solver": ("krylov_solver", KrylovSolver),
+            "sp_gram_schmidt_type": ("gram_schmidt", GramSchmidtType),
+        }
+        int_map = {
+            "sp_maxit": "maxit", "sp_gmres_restart": "gmres_restart",
+            "sp_nd_leaf": "nd_leaf", "sp_nx": "nx", "sp_ny": "ny",
+            "sp_nz": "nz", "sp_components": "components",
+            "sp_separator_width": "separator_width",
+            "sp_compression_min_sep_size": "compression_min_sep_size",
+            "sp_compression_min_front_size": "compression_min_front_size",
+            "sp_compression_leaf_size": "compression_leaf_size",
+            "blr_leaf_size": ("blr", "leaf_size"),
+            "blr_max_rank": ("blr", "max_rank"),
+            "hss_leaf_size": ("hss", "leaf_size"),
+            "hss_d0": ("hss", "d0"), "hss_dd": ("hss", "dd"),
+            "hss_max_rank": ("hss", "max_rank"),
+        }
+        float_map = {
+            "sp_rel_tol": "rel_tol", "sp_abs_tol": "abs_tol",
+            "blr_rel_tol": ("blr", "rel_tol"),
+            "blr_abs_tol": ("blr", "abs_tol"),
+            "hss_rel_tol": ("hss", "rel_tol"),
+            "hss_abs_tol": ("hss", "abs_tol"),
+        }
+        bool_flags = {
+            "sp_verbose": ("verbose", True),
+            "sp_quiet": ("verbose", False),
+            "sp_enable_replace_tiny_pivots": ("replace_tiny_pivots", True),
+            "sp_disable_replace_tiny_pivots": ("replace_tiny_pivots", False),
+            "sp_enable_pivoting": ("pivoting", True),
+            "sp_disable_pivoting": ("pivoting", False),
+            "sp_enable_equilibration": ("equilibration", True),
+            "sp_disable_equilibration": ("equilibration", False),
+        }
+
+        def setval(spec, val):
+            if isinstance(spec, tuple):
+                setattr(getattr(self, spec[0]), spec[1], val)
+            else:
+                setattr(self, spec, val)
+
+        while i < len(argv):
+            a = argv[i]
+            if not a.startswith("--"):
+                rest.append(a)
+                i += 1
+                continue
+            name = a[2:]
+            val = None
+            if "=" in name:
+                name, val = name.split("=", 1)
+            if name in bool_flags:
+                attr, v = bool_flags[name]
+                setattr(self, attr, v)
+            elif name in enum_map:
+                attr, E = enum_map[name]
+                if val is None:
+                    i += 1
+                    val = argv[i]
+                setattr(self, attr, E(val.lower()))
+            elif name in int_map:
+                if val is None:
+                    i += 1
+                    val = argv[i]
+                setval(int_map[name], int(val))
+            elif name in float_map:
+                if val is None:
+                    i += 1
+                    val = argv[i]
+                setval(float_map[name], float(val))
+            else:
+                rest.append(a)
+            i += 1
+        return rest

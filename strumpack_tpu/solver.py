@@ -1,0 +1,305 @@
+"""Top-level sparse solver driver.
+
+Role of the reference's ``SparseSolverBase`` + ``SparseSolver``
+(SparseSolverBase.cpp:304-721 — orchestration of reorder -> factor -> solve,
+matching/equilibration, rhs transforms, Krylov dispatch, statistics;
+StrumpackSparseSolver.hpp:74).  The TPU-native phases:
+
+  reorder():  host — scaling, pattern symmetrization, nested dissection,
+              symbolic factorization, level/bucket planning (plan.py)
+  factor():   device — level-batched numeric factorization (numeric.py)
+  solve():    device solve + outer Krylov (krylov/solvers.py), with the
+              reference's AUTO dispatch (IR for exact LU, preconditioned
+              GMRES when compression is enabled, StrumpackOptions.hpp:166)
+
+Mixed precision (the reference's SparseSolverMixedPrecision.cpp:64-130) is
+folded in: ``opts.factor_dtype`` is the factorization precision and
+``opts.refine_dtype`` the outer-iteration precision; on TPU the natural
+choice is f32 factor + f64 refinement.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .options import (CompressionType, KrylovSolver, MatchingJob,
+                      ReorderingStrategy, SPOptions)
+from .sparse.csr import CSRMatrix
+from .utils.params import ReturnCode
+
+
+class SparseSolver:
+    def __init__(self, opts: SPOptions | None = None, verbose=None):
+        self.opts = opts or SPOptions()
+        if verbose is not None:
+            self.opts.verbose = verbose
+        self.A = None          # user matrix (host CSR)
+        self.Ascaled = None    # scaled matrix
+        self.Ap = None         # scaled + permuted matrix (factored one)
+        self.perm = None
+        self.iperm = None
+        self.tree = None
+        self.plan = None
+        self.pdev = None
+        self.fac = None
+        self.ell = None        # device spmv operator on Ap
+        self.dr = None
+        self.dc = None
+        self.times = {}
+        self.its = 0
+        self.achieved_rtol = 0.0
+        self._reordered = False
+        self._factored = False
+
+    # -- input -------------------------------------------------------------
+    def set_csr_matrix(self, A) -> None:
+        if not isinstance(A, CSRMatrix):
+            A = CSRMatrix.from_scipy(A)
+        self.A = A
+        self._reordered = False
+        self._factored = False
+
+    def update_matrix_values(self, A) -> None:
+        """New values, same pattern: reuse symbolic analysis and plan.
+        Reference: StrumpackSparseSolver.hpp:196 + structure-reuse test."""
+        if not isinstance(A, CSRMatrix):
+            A = CSRMatrix.from_scipy(A)
+        assert self.A is not None and A.nnz == self.A.nnz
+        self.A = A
+        self._factored = False
+        if self._reordered:
+            self._rescale_and_permute()
+
+    # -- phases ------------------------------------------------------------
+    def _rescale_and_permute(self):
+        """Scale, symmetrize the pattern, and permute.  The factored/spmv'd
+        matrix Ap always carries the symmetrized pattern (explicit zeros
+        where only A^T has entries) so the assembly plan's value indices
+        stay valid under update_matrix_values."""
+        A = self.A
+        if self.opts.equilibration:
+            dr, dc, *_ = A.equilibration()
+            self.dr, self.dc = dr, dc
+            self.Ascaled = A.scale_rows_cols(dr, dc)
+        else:
+            self.dr = self.dc = None
+            self.Ascaled = A
+        Asym = (self.Ascaled if A.symm_sparse
+                else self.Ascaled.symmetrize_sparsity())
+        self.Ap = Asym.permute(self.perm, self.iperm)
+        from .ops.spmv import DeviceELL
+        self.ell = DeviceELL(self.Ap, dtype=np.dtype(self.opts.refine_dtype))
+
+    def reorder(self, nx=None, ny=None, nz=None) -> ReturnCode:
+        if self.A is None:
+            return ReturnCode.MATRIX_NOT_SET
+        t0 = time.perf_counter()
+        opts = self.opts
+        A = self.A
+        if nx is not None:
+            opts.nx, opts.ny, opts.nz = nx, ny or 1, nz or 1
+            opts.reordering_method = ReorderingStrategy.GEOMETRIC
+
+        # pattern symmetrization for ND + symbolic (SparseSolverBase.cpp:353)
+        Asym = A if A.symm_sparse else A.symmetrize_sparsity()
+
+        m = opts.reordering_method
+        if m == ReorderingStrategy.GEOMETRIC:
+            from .sparse.ordering.geometric import geometric_nd
+            perm, iperm, tree = geometric_nd(
+                opts.nx, opts.ny, opts.nz, components=opts.components,
+                width=opts.separator_width, leaf=opts.nd_leaf)
+        elif m in (ReorderingStrategy.ND, ReorderingStrategy.METIS):
+            from .sparse.ordering.nd import nested_dissection
+            perm, iperm, tree = nested_dissection(
+                Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf)
+        elif m == ReorderingStrategy.NATURAL:
+            from .sparse.separator_tree import from_etree_perm
+            perm = np.arange(A.n, dtype=np.int64)
+            iperm = perm
+            tree = from_etree_perm(Asym.rowptr, Asym.colind, Asym.n,
+                                   perm, iperm, leaf=opts.nd_leaf)
+        elif m in (ReorderingStrategy.RCM, ReorderingStrategy.AMD):
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            from .sparse.separator_tree import from_etree_perm
+            if m == ReorderingStrategy.RCM:
+                perm = np.asarray(
+                    reverse_cuthill_mckee(Asym.to_scipy(), symmetric_mode=True),
+                    dtype=np.int64)
+            else:
+                from .sparse.ordering.amd import amd_order
+                perm = amd_order(Asym.rowptr, Asym.colind, Asym.n)
+            iperm = np.empty_like(perm)
+            iperm[perm] = np.arange(A.n)
+            tree = from_etree_perm(Asym.rowptr, Asym.colind, Asym.n,
+                                   perm, iperm, leaf=opts.nd_leaf)
+        else:
+            return ReturnCode.REORDERING_ERROR
+
+        self.perm, self.iperm, self.tree = perm, iperm, tree
+        self._rescale_and_permute()
+
+        # symbolic factorization on the symmetrized permuted pattern
+        from .sparse.symbolic import symbolic_factorization
+        from .frontal.plan import build_plan
+        from .frontal.numeric import PlanDev
+        upd = symbolic_factorization(self.Ap, tree)
+        self.plan = build_plan(self.Ap, tree, upd)
+        self.pdev = PlanDev(self.plan)
+        self._reordered = True
+        self.times["reorder"] = time.perf_counter() - t0
+        if opts.verbose:
+            print(f"# reordering time = {self.times['reorder']:.3f} s, "
+                  f"{tree.nseps} fronts, {self.plan.n_levels} levels, "
+                  f"max front {self.plan.max_front}")
+        return ReturnCode.SUCCESS
+
+    def factor(self) -> ReturnCode:
+        if self.A is None:
+            return ReturnCode.MATRIX_NOT_SET
+        if not self._reordered:
+            rc = self.reorder()
+            if rc != ReturnCode.SUCCESS:
+                return rc
+        if self._factored:
+            return ReturnCode.SUCCESS
+        import jax
+        from .frontal import numeric
+        t0 = time.perf_counter()
+        opts = self.opts
+        thresh = 0.0
+        if opts.replace_tiny_pivots:
+            eps = np.finfo(np.dtype(opts.factor_dtype)).eps
+            thresh = np.sqrt(eps) * self.Ap.norm1()
+        self.fac = numeric.factorize(
+            self.pdev, self.Ap.data, thresh=thresh,
+            dtype=np.dtype(opts.factor_dtype))
+        last = self.plan.n_levels - 1
+        jax.block_until_ready(self.fac.lu[(last, 0)])
+        self._factored = True
+        self.times["factor"] = time.perf_counter() - t0
+        if opts.verbose:
+            gfs = self.plan.factor_flops / max(self.times["factor"], 1e-12) / 1e9
+            print(f"#   - factor time = {self.times['factor']:.4f}")
+            print(f"#   - factor nonzeros = {self.plan.factor_nnz}")
+            print(f"#   - factor flops = {self.plan.factor_flops:.4g}, "
+                  f"rate = {gfs:.2f} GFlop/s")
+        return ReturnCode.SUCCESS
+
+    # -- rhs / solution transforms (SparseSolver.cpp:175-256) -------------
+    def _transform_b(self, b):
+        b = np.asarray(b)
+        if self.dr is not None:
+            b = b * (self.dr if b.ndim == 1 else self.dr[:, None])
+        return b[self.perm]
+
+    def _transform_x(self, xp):
+        x = np.asarray(xp)[self.iperm]
+        if self.dc is not None:
+            x = x * (self.dc if x.ndim == 1 else self.dc[:, None])
+        return x
+
+    def _direct_solve(self, bp):
+        from .frontal import numeric
+        import jax.numpy as jnp
+        fd = np.dtype(self.opts.factor_dtype)
+        return numeric.solve(self.fac, jnp.asarray(bp, dtype=fd))
+
+    def solve(self, b, x0=None):
+        """Solve A x = b; returns (x, ReturnCode)."""
+        if self.A is None:
+            return None, ReturnCode.MATRIX_NOT_SET
+        if not self._factored:
+            rc = self.factor()
+            if rc != ReturnCode.SUCCESS:
+                return None, rc
+        import jax.numpy as jnp
+        opts = self.opts
+        t0 = time.perf_counter()
+        bp = self._transform_b(b)
+        rd = np.dtype(opts.refine_dtype)
+
+        solver = opts.krylov_solver
+        if solver == KrylovSolver.AUTO:
+            solver = (KrylovSolver.REFINE
+                      if opts.compression == CompressionType.NONE
+                      else KrylovSolver.PREC_GMRES)
+
+        if solver == KrylovSolver.DIRECT:
+            xp = np.asarray(self._direct_solve(bp))
+            self.its = 1
+        else:
+            spmv = lambda v: self.ell @ v
+            prec = lambda r: self._direct_solve(
+                np.asarray(r)).astype(rd)
+            from .krylov import solvers as K
+
+            def run_one(bcol, x0col):
+                bdev = jnp.asarray(bcol, dtype=rd)
+                x0dev = (jnp.asarray(x0col, dtype=rd)
+                         if x0col is not None else None)
+                if solver == KrylovSolver.REFINE:
+                    return K.iterative_refinement(
+                        spmv, prec, bdev, x0dev, rtol=opts.rel_tol,
+                        atol=opts.abs_tol, maxit=opts.maxit,
+                        verbose=opts.verbose)
+                if solver in (KrylovSolver.PREC_GMRES, KrylovSolver.GMRES):
+                    p = prec if solver == KrylovSolver.PREC_GMRES else None
+                    return K.gmres(
+                        spmv, p, bdev, x0dev, rtol=opts.rel_tol,
+                        atol=opts.abs_tol, maxit=opts.maxit,
+                        restart=opts.gmres_restart,
+                        gram_schmidt=opts.gram_schmidt.value,
+                        verbose=opts.verbose)
+                if solver in (KrylovSolver.PREC_BICGSTAB,
+                              KrylovSolver.BICGSTAB):
+                    p = prec if solver == KrylovSolver.PREC_BICGSTAB else None
+                    return K.bicgstab(
+                        spmv, p, bdev, x0dev, rtol=opts.rel_tol,
+                        atol=opts.abs_tol, maxit=opts.maxit,
+                        verbose=opts.verbose)
+                raise ValueError(solver)
+
+            if bp.ndim == 1:
+                xdev, self.its, self.achieved_rtol = run_one(
+                    bp, self._transform_b(x0) if x0 is not None else None)
+                xp = np.asarray(xdev)
+            else:
+                cols = []
+                x0p = self._transform_b(x0) if x0 is not None else None
+                tot = 0
+                for j in range(bp.shape[1]):
+                    xdev, its, self.achieved_rtol = run_one(
+                        bp[:, j], None if x0p is None else x0p[:, j])
+                    cols.append(np.asarray(xdev))
+                    tot += its
+                self.its = tot
+                xp = np.stack(cols, axis=1)
+
+        x = self._transform_x(xp)
+        self.times["solve"] = time.perf_counter() - t0
+        if opts.verbose:
+            print(f"#   - solve time = {self.times['solve']:.4f}, "
+                  f"iterations = {self.its}")
+        rc = ReturnCode.SUCCESS
+        if (solver != KrylovSolver.DIRECT and self.its >= opts.maxit
+                and self.achieved_rtol > opts.rel_tol):
+            rc = ReturnCode.NO_CONVERGENCE
+        return x, rc
+
+    # -- stats -------------------------------------------------------------
+    def Krylov_iterations(self) -> int:
+        return self.its
+
+    def factor_nonzeros(self) -> int:
+        return self.plan.factor_nnz if self.plan else 0
+
+    def factor_flops(self) -> int:
+        return self.plan.factor_flops if self.plan else 0
+
+    def delete_factors(self) -> None:
+        """Free numeric factors, keep symbolic analysis
+        (SparseSolverBase.cpp:723)."""
+        self.fac = None
+        self._factored = False

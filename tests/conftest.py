@@ -1,0 +1,24 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices and x64.
+
+Mirrors the reference's test strategy of emulating distributed runs on one
+host (test/CMakeLists.txt:37-40 uses mpiexec --oversubscribe); here a
+virtual 8-device CPU mesh stands in for a TPU slice.  Must set env before
+jax imports anywhere.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the virtual CPU mesh
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# jax may already be imported by a site hook with a TPU platform pinned in
+# the environment; override the live config, not just the env var.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,177 @@
+"""End-to-end sparse solver tests.
+
+Model: the reference's test/test_sparse_seq.cpp — build rhs from a known
+random x_exact via spmv, run reorder/factor/solve, require componentwise
+scaled residual < ERROR_TOLERANCE(1e2) * rel_tol (test_sparse_seq.cpp:39-82).
+Matrices come from analytic stencil generators (the reference's
+testPoisson2d/3d examples) plus the bundled pde900 matrix when available.
+"""
+import numpy as np
+import pytest
+
+from strumpack_tpu import (CompressionType, KrylovSolver, ReorderingStrategy,
+                           ReturnCode, SparseSolver, SPOptions)
+from strumpack_tpu.sparse.gen import poisson2d, poisson3d, random_spd
+
+ERROR_TOL = 1e2
+
+
+def check_solve(A, opts, nx=None, ny=None, nz=None, seed=0, nrhs=1):
+    rng = np.random.default_rng(seed)
+    n = A.n
+    xex = rng.standard_normal((n, nrhs)) if nrhs > 1 else rng.standard_normal(n)
+    b = A.spmv(xex)
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    if nx is not None:
+        assert s.reorder(nx, ny, nz) == ReturnCode.SUCCESS
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    res = A.max_scaled_residual(x, b)
+    assert res < ERROR_TOL * opts.rel_tol, f"scaled residual {res}"
+    return s, x, xex
+
+
+def test_poisson2d_geometric_direct():
+    A = poisson2d(30)
+    opts = SPOptions(krylov_solver=KrylovSolver.DIRECT)
+    s, x, xex = check_solve(A, opts, nx=30, ny=30)
+    # exact LU: machine-precision residual
+    b = A.spmv(xex)
+    assert A.max_scaled_residual(x, b) < 1e-13
+
+
+def test_poisson2d_auto_refinement():
+    A = poisson2d(30)
+    opts = SPOptions()
+    s, _, _ = check_solve(A, opts, nx=30, ny=30)
+    assert s.Krylov_iterations() <= 2  # exact factor: IR converges instantly
+
+
+def test_poisson2d_general_nd():
+    A = poisson2d(25)
+    opts = SPOptions(reordering_method=ReorderingStrategy.ND)
+    check_solve(A, opts)
+
+
+def test_poisson3d():
+    A = poisson3d(10)
+    opts = SPOptions()
+    check_solve(A, opts, nx=10, ny=10, nz=10)
+
+
+def test_gmres_unpreconditioned_vs_preconditioned():
+    A = poisson2d(16)
+    opts = SPOptions(krylov_solver=KrylovSolver.PREC_GMRES)
+    s, _, _ = check_solve(A, opts, nx=16, ny=16)
+    assert s.Krylov_iterations() <= 3
+
+
+def test_bicgstab():
+    A = poisson2d(16)
+    opts = SPOptions(krylov_solver=KrylovSolver.PREC_BICGSTAB)
+    s, _, _ = check_solve(A, opts, nx=16, ny=16)
+    assert s.Krylov_iterations() <= 3
+
+
+def test_multiple_rhs():
+    A = poisson2d(12)
+    opts = SPOptions(krylov_solver=KrylovSolver.DIRECT)
+    check_solve(A, opts, nx=12, ny=12, nrhs=3)
+
+
+def test_rcm_ordering():
+    A = poisson2d(12)
+    opts = SPOptions(reordering_method=ReorderingStrategy.RCM)
+    check_solve(A, opts)
+
+
+def test_amd_ordering():
+    A = poisson2d(10)
+    opts = SPOptions(reordering_method=ReorderingStrategy.AMD)
+    check_solve(A, opts)
+
+
+def test_natural_ordering():
+    A = poisson2d(10)
+    opts = SPOptions(reordering_method=ReorderingStrategy.NATURAL)
+    check_solve(A, opts)
+
+
+def test_random_spd():
+    A = random_spd(200, seed=3)
+    opts = SPOptions()
+    check_solve(A, opts)
+
+
+def test_unsymmetric_pattern():
+    # pattern-unsymmetric matrix exercises symmetrize_sparsity
+    rng = np.random.default_rng(7)
+    from scipy.sparse import random as sprandom, eye
+    n = 150
+    B = sprandom(n, n, density=0.02, random_state=rng, format="csr")
+    S = (B + eye(n, format="csr") * 10.0).tocsr()
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    A = CSRMatrix.from_scipy(S)
+    opts = SPOptions()
+    check_solve(A, opts)
+
+
+def test_structure_reuse_update_values():
+    """update_matrix_values reuses symbolic analysis
+    (reference test_structure_reuse_mpi.cpp analog)."""
+    A = poisson2d(15)
+    opts = SPOptions(krylov_solver=KrylovSolver.DIRECT)
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert A.max_scaled_residual(x, b) < 1e-13
+    plan_before = s.plan
+    # perturb values, same pattern
+    A2 = A.copy()
+    A2.data = A2.data * (1.0 + 0.01 * rng.standard_normal(A2.nnz))
+    s.update_matrix_values(A2)
+    b2 = A2.spmv(xex)
+    x2, rc = s.solve(b2)
+    assert s.plan is plan_before  # symbolic reused
+    assert A2.max_scaled_residual(x2, b2) < 1e-12
+
+
+def test_mixed_precision_f32_factor_f64_refine():
+    """SparseSolverMixedPrecision analog: f32 factor + f64 IR to 1e-10."""
+    A = poisson2d(20)
+    opts = SPOptions(factor_dtype="float32", refine_dtype="float64",
+                     rel_tol=1e-10, krylov_solver=KrylovSolver.REFINE)
+    s, x, xex = check_solve(A, opts, nx=20, ny=20)
+    b = A.spmv(xex)
+    assert A.max_scaled_residual(x, b) < 1e-10
+    assert 1 < s.Krylov_iterations() <= 10
+
+
+def test_pde900_if_available():
+    import os
+    path = "/root/reference/examples/sparse/data/pde900.mtx"
+    if not os.path.exists(path):
+        pytest.skip("pde900.mtx not available")
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    A = CSRMatrix.from_matrix_market(path)
+    opts = SPOptions()
+    check_solve(A, opts)
+
+
+def test_cli_options():
+    opts = SPOptions()
+    rest = opts.set_from_command_line(
+        ["prog", "--sp_rel_tol", "1e-8", "--sp_maxit=100",
+         "--sp_reordering_method", "geometric", "--sp_nx", "16",
+         "--sp_disable_equilibration", "--blr_leaf_size=64"])
+    assert opts.rel_tol == 1e-8
+    assert opts.maxit == 100
+    assert opts.reordering_method == ReorderingStrategy.GEOMETRIC
+    assert opts.nx == 16
+    assert not opts.equilibration
+    assert opts.blr.leaf_size == 64
+    assert rest == ["prog"]
