@@ -1,0 +1,91 @@
+"""Benchmark: multifrontal factorization throughput on one TPU chip.
+
+BASELINE.md config 1/2 analog: 3D Poisson exact multifrontal LU (f32 factor
++ iterative refinement).  Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline compares the achieved factorization GFlop/s against SuiteSparse-
+class host performance measured in-process (scipy SuperLU factoring the same
+matrix, credited with our exact multifrontal flop count — the reference
+publishes no numbers of its own, see BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    cache = os.environ.get("JAX_CACHE_DIR",
+                           os.path.expanduser("~/.cache/strumpack_tpu_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    nx = int(os.environ.get("BENCH_NX", "32"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from strumpack_tpu import SparseSolver, SPOptions, KrylovSolver
+    from strumpack_tpu.sparse.gen import poisson3d
+
+    A = poisson3d(nx)
+    opts = SPOptions(factor_dtype="float32", refine_dtype="float32",
+                     rel_tol=1e-5, krylov_solver=KrylovSolver.REFINE,
+                     nd_leaf=16)
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    t0 = time.perf_counter()
+    s.reorder(nx, nx, nx)
+    t_reorder = time.perf_counter() - t0
+    s.factor()  # compile + first factor
+    t_first = s.times["factor"]
+
+    # steady-state factor (plan + compilation reused)
+    times = []
+    for _ in range(3):
+        s.delete_factors()
+        s.factor()
+        times.append(s.times["factor"])
+    t_factor = min(times)
+    flops = s.factor_flops()
+    gflops = flops / t_factor / 1e9
+
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    t_solve = s.times["solve"]
+    x, rc = s.solve(b)
+    t_solve = min(t_solve, s.times["solve"])
+    res = A.max_scaled_residual(x, b)
+
+    # host SuperLU baseline on the same matrix, credited with our flops
+    from scipy.sparse.linalg import splu
+    S = A.to_scipy().tocsc()
+    t0 = time.perf_counter()
+    lu = splu(S)
+    t_superlu = time.perf_counter() - t0
+    gflops_superlu = flops / t_superlu / 1e9
+
+    print(f"# n={A.n} nnz={A.nnz} factor_nnz={s.factor_nonzeros()} "
+          f"flops={flops:.3g} reorder={t_reorder:.2f}s "
+          f"factor_first={t_first:.2f}s factor={t_factor:.4f}s "
+          f"solve={t_solve:.4f}s its={s.its} residual={res:.2e} "
+          f"superlu={t_superlu:.3f}s tpu={on_tpu}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"poisson3d_{nx}_factor_gflops",
+        "value": round(gflops, 3),
+        "unit": "GFlop/s",
+        "vs_baseline": round(gflops / gflops_superlu, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -160,19 +160,29 @@ class Factors:
         self.perm = {}
         self.L21 = {}
         self.U12 = {}
+        self.blr = {}    # (lvl, bkt) -> (lud, perms, Uu, Vu, Ul, Vl)
+        self.blr_ranks = {}
+
+    def max_rank(self) -> int:
+        """Largest compressed tile rank (reference 'maximum rank' stat)."""
+        import numpy as np
+        m = 0
+        for r in self.blr_ranks.values():
+            m = max(m, int(np.asarray(r).max()) if r.size else 0)
+        return m
 
 
-def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None) -> Factors:
+def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
+              blr_tol=1e-4) -> Factors:
     """Numeric factorization given device values of the permuted matrix."""
     plan = pdev.plan
     Avals = jnp.asarray(Avals, dtype=dtype)
     dtype = Avals.dtype
     vals_ext = jnp.concatenate(
         [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
-    thresh = jnp.asarray(thresh, dtype=jnp.finfo(dtype).dtype if not
-                         jnp.issubdtype(dtype, jnp.complexfloating) else
-                         jnp.finfo(dtype).dtype)
-    thresh = jnp.asarray(thresh, dtype=jnp.real(jnp.zeros((), dtype)).dtype)
+    rdt = jnp.real(jnp.zeros((), dtype)).dtype
+    thresh = jnp.asarray(thresh, dtype=rdt)
+    tol = jnp.asarray(blr_tol, dtype=rdt)
     fac = Factors(pdev, dtype)
     cb_flat = jnp.zeros((0,), dtype=dtype)
     for li, level in enumerate(pdev.levels):
@@ -185,11 +195,21 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None) -> Factors:
                 F = _extend_add(F, cb_flat, bd.posL, bd.offL, bd.strideL)
             if bd.has_R:
                 F = _extend_add(F, cb_flat, bd.posR, bd.offR, bd.strideR)
-            lu, perm, L21, U12, CB = _factor_bucket(F, thresh, s_pad=bp.s_pad)
-            fac.lu[(li, bi)] = lu
-            fac.perm[(li, bi)] = perm
-            fac.L21[(li, bi)] = L21
-            fac.U12[(li, bi)] = U12
+            if bp.blr:
+                from . import blr as B
+                t = bp.tile
+                nt, nts = bp.p // t, bp.s_pad // t
+                lud, perms, Uu, Vu, Ul, Vl, CB, rk = B.blr_factor_bucket(
+                    F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
+                fac.blr[(li, bi)] = (lud, perms, Uu, Vu, Ul, Vl)
+                fac.blr_ranks[(li, bi)] = rk
+            else:
+                lu, perm, L21, U12, CB = _factor_bucket(F, thresh,
+                                                        s_pad=bp.s_pad)
+                fac.lu[(li, bi)] = lu
+                fac.perm[(li, bi)] = perm
+                fac.L21[(li, bi)] = L21
+                fac.U12[(li, bi)] = U12
             cb_parts.append(CB.reshape(-1))
         cb_flat = (jnp.concatenate(cb_parts) if cb_parts
                    else jnp.zeros((0,), dtype=dtype))
@@ -223,8 +243,15 @@ def solve(fac: Factors, b) -> jnp.ndarray:
                 bloc = _ext_add_vec(bloc, cbv_flat, bd.posL, bd.voffL)
             if bd.has_R:
                 bloc = _ext_add_vec(bloc, cbv_flat, bd.posR, bd.voffR)
-            y, cbv = _fwd_bucket(fac.lu[(li, bi)], fac.perm[(li, bi)],
-                                 fac.L21[(li, bi)], bloc, s_pad=bp.s_pad)
+            if bp.blr:
+                from . import blr as B
+                lud, perms, Uu, Vu, Ul, Vl = fac.blr[(li, bi)]
+                t = bp.tile
+                y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
+                                          nts=bp.s_pad // t, nt=bp.p // t)
+            else:
+                y, cbv = _fwd_bucket(fac.lu[(li, bi)], fac.perm[(li, bi)],
+                                     fac.L21[(li, bi)], bloc, s_pad=bp.s_pad)
             ys[(li, bi)] = y
             parts.append(cbv.reshape(-1, nrhs))
         cbv_flat = (jnp.concatenate(parts) if parts
@@ -236,8 +263,16 @@ def solve(fac: Factors, b) -> jnp.ndarray:
         for bi, bd in enumerate(pdev.levels[li]):
             bp = bd.bp
             xupd = xext[bd.upd_glob]
-            xsep = _bwd_bucket(fac.lu[(li, bi)], fac.U12[(li, bi)],
-                               ys[(li, bi)], xupd)
+            if bp.blr:
+                from . import blr as B
+                lud, perms, Uu, Vu, Ul, Vl = fac.blr[(li, bi)]
+                t = bp.tile
+                xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[(li, bi)], xupd,
+                                        t=t, nts=bp.s_pad // t,
+                                        nt=bp.p // t)
+            else:
+                xsep = _bwd_bucket(fac.lu[(li, bi)], fac.U12[(li, bi)],
+                                   ys[(li, bi)], xupd)
             xext = xext.at[bd.sep_glob.reshape(-1)].set(
                 xsep.reshape(-1, nrhs), mode="drop")
             xext = xext.at[n].set(jnp.zeros((nrhs,), b.dtype))

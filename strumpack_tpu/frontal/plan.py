@@ -83,6 +83,10 @@ class BucketPlan:
     # solve-phase global index maps (value n = zero padding slot)
     sep_glob: np.ndarray = None  # [nf, s_pad]
     upd_glob: np.ndarray = None  # [nf, u_pad]
+    # compression (FrontFactory analog: per-bucket front type selection)
+    blr: bool = False
+    tile: int = 0                # BLR tile size t
+    max_rank: int = 0            # BLR fixed max rank r
 
     @property
     def nf(self) -> int:
@@ -118,7 +122,11 @@ class LevelPlan:
 
 
 def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
-               upd: list[np.ndarray]) -> LevelPlan:
+               upd: list[np.ndarray], compression=None) -> LevelPlan:
+    """compression: None or an SPOptions-like object with fields
+    ``compression`` (CompressionType), ``compression_min_sep_size``,
+    ``blr`` (BLROptions) — selects per-bucket front types the way
+    FrontFactory::create_frontal_matrix does (FrontFactory.hpp:84-133)."""
     n, nnz = Ap.n, Ap.nnz
     nseps = tree.nseps
     depths = tree.depths()
@@ -189,6 +197,15 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                             u_pad=int(u_pad_all[sel[0]]),
                             fronts=sel, ds=ds_b, du=du_b)
             sp, up, p = bp.s_pad, bp.u_pad, bp.p
+            if compression is not None:
+                from ..options import CompressionType
+                if (compression.compression == CompressionType.BLR
+                        and sp >= compression.compression_min_sep_size):
+                    from .blr import choose_tile
+                    bp.blr = True
+                    bp.tile = choose_tile(sp, up, compression.blr.leaf_size)
+                    bp.max_rank = max(4, min(compression.blr.max_rank,
+                                             bp.tile // 2))
             batch_of[sel] = np.arange(nfr)
             for f in sel:
                 bucket_of[int(f)] = bp

@@ -82,7 +82,8 @@ def gmres(spmv, prec, b, x0=None, rtol=1e-6, atol=1e-10, maxit=500,
                     h = jnp.vdot(V[j], w)
                     H[j, k] = np.asarray(h)
                     w = w - h * V[j]
-            H[k + 1, k] = _norm(w)
+            hnext = _norm(w)
+            H[k + 1, k] = hnext
             # apply existing Givens rotations to column k
             for j, (c, s) in enumerate(givens):
                 t = c * H[j, k] + s * H[j + 1, k]
@@ -109,9 +110,9 @@ def gmres(spmv, prec, b, x0=None, rtol=1e-6, atol=1e-10, maxit=500,
                 print(f"# GMRES it {totit} res {rho:.6e} rel {rho/rho0:.6e}")
             if rho <= max(rtol * rho0, atol) or totit >= maxit:
                 break
-            if H[k + 1, k] == 0 and _norm(w) == 0:
-                break
-            V.append(w / H[k + 1, k] if H[k + 1, k] != 0 else w)
+            if hnext == 0.0:
+                break  # happy breakdown: exact solution in current space
+            V.append(w / hnext)
         # solve the triangular system and update x
         kk = k + 1
         ysol = np.zeros(kk, dtype=complex if np.iscomplexobj(H) else float)

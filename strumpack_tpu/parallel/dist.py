@@ -1,0 +1,152 @@
+"""Multi-device execution of the level-batched multifrontal solver.
+
+Role of the reference's distributed stack (EliminationTreeMPIDist
+proportional mapping, FrontDenseMPI 2D block-cyclic fronts, ExtendAdd
+alltoallv — SURVEY.md sections 2.12, 3.3) re-mapped onto a TPU mesh:
+
+* the *batch axis of each level bucket* is sharded over the mesh's ``b``
+  axis — the analog of proportional mapping of independent subtrees to
+  ranks (all fronts of a level are independent tasks);
+* the flat contribution-block buffer is kept replicated across ``b``; the
+  extend-add gathers then compile to an all-gather of each level's CB
+  parts — the analog of the reference's alltoallv extend-add, riding ICI;
+* large top-level fronts (batch 1) are replicated in round 1; a 2D
+  block-sharded panel LU over (``r``, ``c``) mesh axes is the planned
+  upgrade (SURVEY.md section 7 step 6, "hardest kernel").
+
+The returned step function is a single jit over the whole level loop, so
+XLA sees one program and schedules collectives with compute.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..frontal.numeric import PlanDev
+
+
+def _shard_bucket(arr, mesh, nf):
+    """Shard a [nf, ...] bucket tensor over the 'b' mesh axis when the
+    batch divides evenly; replicate otherwise (top-of-tree buckets)."""
+    nb = mesh.shape["b"]
+    if nf % nb == 0 and nf >= nb:
+        spec = P("b", *([None] * 1))
+        return jax.lax.with_sharding_constraint(
+            arr, NamedSharding(mesh, P(*(("b",) + (None,) * (arr.ndim - 1)))))
+    return jax.lax.with_sharding_constraint(
+        arr, NamedSharding(mesh, P(*((None,) * arr.ndim))))
+
+
+def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
+                              thresh: float = 0.0):
+    """Build a jitted (Avals, b) -> x full factor+solve step with bucket
+    batches sharded over mesh axis 'b'."""
+    plan = pdev.plan
+    n = plan.n
+
+    def step(Avals, b):
+        Avals = Avals.astype(dtype)
+        vals_ext = jnp.concatenate(
+            [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
+        th = jnp.asarray(thresh, dtype=jnp.zeros((), dtype).real.dtype)
+
+        lus, perms, L21s, U12s = {}, {}, {}, {}
+        cb_flat = jnp.zeros((0,), dtype=dtype)
+        for li, level in enumerate(pdev.levels):
+            parts = []
+            for bi, bd in enumerate(level):
+                bp = bd.bp
+                F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
+                F = F.at[bd.asm_bidx, bd.asm_r, bd.asm_c].add(
+                    vals_ext[bd.asm_vidx])
+                F = _shard_bucket(F, mesh, bp.nf)
+                for has, pos, off, stride in (
+                        (bd.has_L, bd.posL, bd.offL, bd.strideL),
+                        (bd.has_R, bd.posR, bd.offR, bd.strideR)):
+                    if not has:
+                        continue
+                    idx = (off[:, None, None]
+                           + pos[:, :, None] * stride[:, None, None]
+                           + pos[:, None, :])
+                    mask = (pos[:, :, None] >= 0) & (pos[:, None, :] >= 0)
+                    safe = jnp.clip(idx, 0, max(cb_flat.shape[0] - 1, 0))
+                    F = F + jnp.where(mask, cb_flat[safe],
+                                      jnp.zeros((), dtype))
+                s = bp.s_pad
+                lu, _, perm = jax.lax.linalg.lu(F[:, :s, :s])
+                d = jnp.diagonal(lu, axis1=-2, axis2=-1)
+                repl = jnp.where(jnp.abs(d) < th,
+                                 jnp.where(d == 0, th, jnp.sign(d.real)
+                                           .astype(d.dtype) * th), d)
+                ii = jnp.arange(s)
+                lu = lu.at[:, ii, ii].set(repl)
+                F12 = jnp.take_along_axis(F[:, :s, s:], perm[:, :, None],
+                                          axis=1)
+                U12 = jax.lax.linalg.triangular_solve(
+                    lu, F12, left_side=True, lower=True, unit_diagonal=True)
+                L21 = jax.lax.linalg.triangular_solve(
+                    lu, F[:, s:, :s], left_side=False, lower=False)
+                CB = F[:, s:, s:] - jnp.matmul(
+                    L21, U12, preferred_element_type=dtype)
+                lus[(li, bi)] = lu
+                perms[(li, bi)] = perm
+                L21s[(li, bi)] = L21
+                U12s[(li, bi)] = U12
+                parts.append(CB.reshape(-1))
+            cb_flat = (jnp.concatenate(parts) if parts
+                       else jnp.zeros((0,), dtype))
+            cb_flat = jax.lax.with_sharding_constraint(
+                cb_flat, NamedSharding(mesh, P(None)))
+
+        # ---- solve (single rhs) ----
+        b1 = b.astype(dtype)[:, None]
+        bext = jnp.concatenate([b1, jnp.zeros((1, 1), dtype)], axis=0)
+        ys = {}
+        cbv = jnp.zeros((0, 1), dtype)
+        for li, level in enumerate(pdev.levels):
+            parts = []
+            for bi, bd in enumerate(level):
+                bp = bd.bp
+                bloc = jnp.concatenate(
+                    [bext[bd.sep_glob],
+                     jnp.zeros((bp.nf, bp.u_pad, 1), dtype)], axis=1)
+                for has, pos, voff in ((bd.has_L, bd.posL, bd.voffL),
+                                       (bd.has_R, bd.posR, bd.voffR)):
+                    if not has:
+                        continue
+                    idx = voff[:, None] + pos
+                    safe = jnp.clip(idx, 0, max(cbv.shape[0] - 1, 0))
+                    bloc = bloc + jnp.where((pos >= 0)[:, :, None],
+                                            cbv[safe], jnp.zeros((), dtype))
+                s = bp.s_pad
+                bsep = jnp.take_along_axis(bloc[:, :s],
+                                           perms[(li, bi)][:, :, None], 1)
+                y = jax.lax.linalg.triangular_solve(
+                    lus[(li, bi)], bsep, left_side=True, lower=True,
+                    unit_diagonal=True)
+                ys[(li, bi)] = y
+                parts.append((bloc[:, s:] - jnp.matmul(
+                    L21s[(li, bi)], y,
+                    preferred_element_type=dtype)).reshape(-1, 1))
+            cbv = (jnp.concatenate(parts) if parts
+                   else jnp.zeros((0, 1), dtype))
+
+        xext = jnp.zeros((n + 1, 1), dtype)
+        for li in range(len(pdev.levels) - 1, -1, -1):
+            for bi, bd in enumerate(pdev.levels[li]):
+                xupd = xext[bd.upd_glob]
+                z = ys[(li, bi)] - jnp.matmul(
+                    U12s[(li, bi)], xupd, preferred_element_type=dtype)
+                xsep = jax.lax.linalg.triangular_solve(
+                    lus[(li, bi)], z, left_side=True, lower=False)
+                xext = xext.at[bd.sep_glob.reshape(-1)].set(
+                    xsep.reshape(-1, 1))
+                xext = xext.at[n].set(jnp.zeros((1,), dtype))
+        return xext[:n, 0]
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(step, in_shardings=(repl, repl), out_shardings=repl)

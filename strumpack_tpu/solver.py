@@ -46,6 +46,9 @@ class SparseSolver:
         self.ell = None        # device spmv operator on Ap
         self.dr = None
         self.dc = None
+        self.mq = None         # matching column permutation
+        self.mdr = None
+        self.mdc = None
         self.times = {}
         self.its = 0
         self.achieved_rtol = 0.0
@@ -73,11 +76,15 @@ class SparseSolver:
 
     # -- phases ------------------------------------------------------------
     def _rescale_and_permute(self):
-        """Scale, symmetrize the pattern, and permute.  The factored/spmv'd
-        matrix Ap always carries the symmetrized pattern (explicit zeros
-        where only A^T has entries) so the assembly plan's value indices
-        stay valid under update_matrix_values."""
+        """Match, scale, symmetrize the pattern, and permute.  The
+        factored/spmv'd matrix Ap always carries the symmetrized pattern
+        (explicit zeros where only A^T has entries) so the assembly plan's
+        value indices stay valid under update_matrix_values."""
         A = self.A
+        if self.mq is not None:
+            from .sparse.matching import apply_matching, matching_scaling
+            self.mdr, self.mdc = matching_scaling(A, self.mq)
+            A = apply_matching(A, self.mq, self.mdr, self.mdc)
         if self.opts.equilibration:
             dr, dc, *_ = A.equilibration()
             self.dr, self.dc = dr, dc
@@ -101,8 +108,20 @@ class SparseSolver:
             opts.nx, opts.ny, opts.nz = nx, ny or 1, nz or 1
             opts.reordering_method = ReorderingStrategy.GEOMETRIC
 
+        # column matching for stability (SparseSolverBase.cpp:327-334)
+        if opts.matching != MatchingJob.NONE:
+            from .sparse.matching import max_product_matching
+            self.mq, self.mdr, self.mdc = max_product_matching(A)
+        else:
+            self.mq = None
+
         # pattern symmetrization for ND + symbolic (SparseSolverBase.cpp:353)
-        Asym = A if A.symm_sparse else A.symmetrize_sparsity()
+        if self.mq is not None:
+            from .sparse.matching import apply_matching
+            Apat = apply_matching(A, self.mq, self.mdr, self.mdc)
+            Asym = Apat.symmetrize_sparsity()
+        else:
+            Asym = A if A.symm_sparse else A.symmetrize_sparsity()
 
         m = opts.reordering_method
         if m == ReorderingStrategy.GEOMETRIC:
@@ -145,7 +164,7 @@ class SparseSolver:
         from .frontal.plan import build_plan
         from .frontal.numeric import PlanDev
         upd = symbolic_factorization(self.Ap, tree)
-        self.plan = build_plan(self.Ap, tree, upd)
+        self.plan = build_plan(self.Ap, tree, upd, compression=opts)
         self.pdev = PlanDev(self.plan)
         self._reordered = True
         self.times["reorder"] = time.perf_counter() - t0
@@ -174,9 +193,12 @@ class SparseSolver:
             thresh = np.sqrt(eps) * self.Ap.norm1()
         self.fac = numeric.factorize(
             self.pdev, self.Ap.data, thresh=thresh,
-            dtype=np.dtype(opts.factor_dtype))
+            dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol)
         last = self.plan.n_levels - 1
-        jax.block_until_ready(self.fac.lu[(last, 0)])
+        root_fac = (self.fac.lu.get((last, 0))
+                    if (last, 0) in self.fac.lu
+                    else self.fac.blr[(last, 0)][0])
+        jax.block_until_ready(root_fac)
         self._factored = True
         self.times["factor"] = time.perf_counter() - t0
         if opts.verbose:
@@ -190,6 +212,8 @@ class SparseSolver:
     # -- rhs / solution transforms (SparseSolver.cpp:175-256) -------------
     def _transform_b(self, b):
         b = np.asarray(b)
+        if self.mdr is not None:
+            b = b * (self.mdr if b.ndim == 1 else self.mdr[:, None])
         if self.dr is not None:
             b = b * (self.dr if b.ndim == 1 else self.dr[:, None])
         return b[self.perm]
@@ -198,6 +222,11 @@ class SparseSolver:
         x = np.asarray(xp)[self.iperm]
         if self.dc is not None:
             x = x * (self.dc if x.ndim == 1 else self.dc[:, None])
+        if self.mq is not None:
+            # undo column permutation: solved z has x_scaled[q[j]] = z[j]
+            y = np.empty_like(x)
+            y[self.mq] = x
+            x = y * (self.mdc if x.ndim == 1 else self.mdc[:, None])
         return x
 
     def _direct_solve(self, bp):

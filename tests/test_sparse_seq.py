@@ -175,3 +175,31 @@ def test_cli_options():
     assert not opts.equilibration
     assert opts.blr.leaf_size == 64
     assert rest == ["prog"]
+
+
+def test_mc64_matching_badly_scaled():
+    """Max-product matching + scaling on a badly scaled unsymmetric matrix
+    (MC64 job 5 analog, SparseSolverBase.cpp:327-334)."""
+    from strumpack_tpu import MatchingJob
+    rng = np.random.default_rng(11)
+    n = 120
+    from scipy.sparse import random as sprandom, csr_matrix
+    import scipy.sparse as sp
+    B = sprandom(n, n, density=0.03, random_state=rng, format="lil")
+    # badly scaled, diagonal shifted off: put big entries on a permuted diag
+    p = rng.permutation(n)
+    for i in range(n):
+        B[i, p[i]] = 10.0 ** rng.integers(2, 8)
+    A = None
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    A = CSRMatrix.from_scipy(csr_matrix(B))
+    opts = SPOptions(matching=MatchingJob.MAX_DIAGONAL_PRODUCT_SCALING,
+                     rel_tol=1e-10)
+    s, x, xex = check_solve(A, opts, seed=2)
+    # and structure reuse with matching active
+    A2 = A.copy()
+    A2.data = A2.data * (1.0 + 1e-3 * np.random.default_rng(5).standard_normal(A2.nnz))
+    s.update_matrix_values(A2)
+    b2 = A2.spmv(xex)
+    x2, rc = s.solve(b2)
+    assert A2.max_scaled_residual(x2, b2) < ERROR_TOL * opts.rel_tol
