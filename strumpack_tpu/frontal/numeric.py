@@ -5,16 +5,18 @@ Role of the reference's numeric phase: FrontDense::factor_phase1/2
 level-batched traversal (FrontGPU.cpp:470-640) and the two-phase solve
 (FrontDense.cpp:286-330) — re-expressed TPU-first:
 
-* one batched dense kernel sequence per (level, bucket), all static shapes;
+* the WHOLE factorization (all levels, all buckets) is one jitted XLA
+  program, and likewise the whole two-phase solve: one dispatch each, no
+  host round trips inside — the analog of the reference GPU path keeping
+  an entire traversal on device (and essential here because every
+  un-jitted op would otherwise be its own compile + dispatch through the
+  TPU tunnel);
 * assembly = one scatter-add of gathered matrix values + two extend-add
   gathers from the child level's flat CB buffer (see plan.py);
-* contribution blocks of level k live in one flat device buffer consumed by
-  level k+1's assembly — extend-add never leaves the device, exactly like
-  the reference's GPU path where "the CB of level l stays on device".
-
-Per-bucket jitted callables are cached by shape (jax.jit's trace cache), so
-identical bucket shapes across levels and across factorizations share
-compilations.
+* contribution blocks of level k live in one flat device buffer consumed
+  by level k+1's assembly — extend-add never leaves the device;
+* per-bucket index arrays are passed as jit arguments (pytree), not
+  closure constants, so the HLO stays small and transfers happen once.
 """
 from __future__ import annotations
 
@@ -36,73 +38,64 @@ class BucketDev:
 
     def __init__(self, bp: BucketPlan):
         self.bp = bp
-        self.asm_bidx = jnp.asarray(bp.asm_bidx)
-        self.asm_r = jnp.asarray(bp.asm_r)
-        self.asm_c = jnp.asarray(bp.asm_c)
-        self.asm_vidx = jnp.asarray(bp.asm_vidx)
         self.has_L = bool((bp.posL >= 0).any())
         self.has_R = bool((bp.posR >= 0).any())
-        self.posL = jnp.asarray(bp.posL)
-        self.posR = jnp.asarray(bp.posR)
-        self.offL = jnp.asarray(bp.offL)
-        self.offR = jnp.asarray(bp.offR)
-        self.strideL = jnp.asarray(bp.strideL)
-        self.strideR = jnp.asarray(bp.strideR)
-        self.voffL = jnp.asarray(bp.voffL)
-        self.voffR = jnp.asarray(bp.voffR)
-        self.sep_glob = jnp.asarray(bp.sep_glob)
-        self.upd_glob = jnp.asarray(bp.upd_glob)
+        self.arrays = dict(
+            asm_bidx=jnp.asarray(bp.asm_bidx),
+            asm_r=jnp.asarray(bp.asm_r),
+            asm_c=jnp.asarray(bp.asm_c),
+            asm_vidx=jnp.asarray(bp.asm_vidx),
+            posL=jnp.asarray(bp.posL), posR=jnp.asarray(bp.posR),
+            offL=jnp.asarray(bp.offL), offR=jnp.asarray(bp.offR),
+            strideL=jnp.asarray(bp.strideL),
+            strideR=jnp.asarray(bp.strideR),
+            voffL=jnp.asarray(bp.voffL), voffR=jnp.asarray(bp.voffR),
+            sep_glob=jnp.asarray(bp.sep_glob),
+            upd_glob=jnp.asarray(bp.upd_glob),
+        )
 
 
 class PlanDev:
     def __init__(self, plan: LevelPlan):
         self.plan = plan
         self.levels = [[BucketDev(bp) for bp in lvl] for lvl in plan.levels]
+        self.arrays = {f"{li},{bi}": bd.arrays
+                       for li, lvl in enumerate(self.levels)
+                       for bi, bd in enumerate(lvl)}
+        self._jit_cache = {}
 
 
 # ---------------------------------------------------------------------------
-# per-bucket kernels (shape-polymorphic via jit cache)
+# bucket primitives (traceable; shapes static per call site)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("nf", "p"))
-def _assemble_scatter(vals_ext, bidx, r, c, vidx, nf, p):
-    F = jnp.zeros((nf, p, p), dtype=vals_ext.dtype)
-    return F.at[bidx, r, c].add(vals_ext[vidx])
-
-
-@jax.jit
 def _extend_add(F, cb_flat, pos, off, stride):
     """F[f,i,j] += cb_flat[off[f] + pos[f,i]*stride[f] + pos[f,j]] (masked)."""
     idx = (off[:, None, None] + pos[:, :, None] * stride[:, None, None]
            + pos[:, None, :])
     mask = (pos[:, :, None] >= 0) & (pos[:, None, :] >= 0)
-    safe = jnp.clip(idx, 0, cb_flat.shape[0] - 1)
+    safe = jnp.clip(idx, 0, max(cb_flat.shape[0] - 1, 0))
     return F + jnp.where(mask, cb_flat[safe], jnp.zeros((), F.dtype))
 
 
-@partial(jax.jit, static_argnames=("s_pad",))
 def _factor_bucket(F, thresh, s_pad):
     """Batched partial factorization of identity-padded fronts.
 
     Returns (lu, perm, L21, U12, CB):
-      lu   [nf,s,s]  packed L\\U of P F11 (tiny pivots replaced on the diag)
+      lu   [nf,s,s]  packed L\\U of P F11 (tiny pivots replaced on diag)
       perm [nf,s]    row permutation (applied form of the LAPACK pivots)
       U12  [nf,s,u]  = L^-1 P F12
       L21  [nf,u,s]  = F21 U^-1
       CB   [nf,u,u]  = F22 - L21 U12   (contribution block)
     Mirrors FrontDense::factor_phase2 (FrontDense.cpp:254-284) with the
-    reference's tiny-pivot replacement (threshold sqrt(eps)*|A|_1,
-    SparseSolverBase.cpp:346-350) applied to the U diagonal.
-    """
+    reference's tiny-pivot replacement (SparseSolverBase.cpp:346-350)."""
     s = s_pad
     F11 = F[:, :s, :s]
     lu, _, perm = jax.lax.linalg.lu(F11)
     d = jnp.diagonal(lu, axis1=-2, axis2=-1)
-    absd = jnp.abs(d)
-    repl = jnp.where(absd < thresh,
+    repl = jnp.where(jnp.abs(d) < thresh,
                      jnp.where(d == 0, thresh,
-                               jnp.sign(jnp.real(d)).astype(d.dtype) * thresh
-                               ) * jnp.ones((), d.dtype),
+                               jnp.sign(jnp.real(d)).astype(d.dtype) * thresh),
                      d)
     ii = jnp.arange(s)
     lu = lu.at[:, ii, ii].set(repl)
@@ -111,170 +104,199 @@ def _factor_bucket(F, thresh, s_pad):
         lu, F12, left_side=True, lower=True, unit_diagonal=True)
     L21 = jax.lax.linalg.triangular_solve(
         lu, F[:, s:, :s], left_side=False, lower=False, unit_diagonal=False)
-    CB = F[:, s:, s:] - jnp.matmul(L21, U12,
-                                   preferred_element_type=F.dtype)
+    CB = F[:, s:, s:] - jnp.matmul(L21, U12, preferred_element_type=F.dtype)
     return lu, perm, L21, U12, CB
 
 
-@jax.jit
 def _ext_add_vec(v, cbv_flat, pos, voff):
     idx = voff[:, None] + pos
     mask = pos >= 0
-    safe = jnp.clip(idx, 0, cbv_flat.shape[0] - 1)
+    safe = jnp.clip(idx, 0, max(cbv_flat.shape[0] - 1, 0))
     return v + jnp.where(mask[:, :, None], cbv_flat[safe],
                          jnp.zeros((), v.dtype))
 
 
-@partial(jax.jit, static_argnames=("s_pad",))
-def _fwd_bucket(lu, perm, L21, bloc, s_pad):
-    """Forward solve of one bucket: y = L^-1 P b_sep; cbv = b_upd - L21 y.
-    Mirrors FrontDense fwd_solve_phase2 (FrontDense.cpp:286-305)."""
-    s = s_pad
-    bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], axis=1)
-    y = jax.lax.linalg.triangular_solve(
-        lu, bsep, left_side=True, lower=True, unit_diagonal=True)
-    cbv = bloc[:, s:] - jnp.matmul(L21, y, preferred_element_type=y.dtype)
-    return y, cbv
-
-
-@jax.jit
-def _bwd_bucket(lu, U12, y, xupd):
-    """Backward solve: x_sep = U^-1 (y - U12 x_upd).
-    Mirrors FrontDense bwd_solve_phase1 (FrontDense.cpp:307-330)."""
-    z = y - jnp.matmul(U12, xupd, preferred_element_type=y.dtype)
-    return jax.lax.linalg.triangular_solve(
-        lu, z, left_side=True, lower=False, unit_diagonal=False)
-
-
 # ---------------------------------------------------------------------------
-# drivers
+# whole-phase programs
 # ---------------------------------------------------------------------------
 
-class Factors:
-    """Numeric LU factors in level-batched layout (device arrays)."""
-
-    def __init__(self, pdev: PlanDev, dtype):
-        self.pdev = pdev
-        self.dtype = dtype
-        self.lu = {}     # (lvl, bkt) -> [nf,s,s]
-        self.perm = {}
-        self.L21 = {}
-        self.U12 = {}
-        self.blr = {}    # (lvl, bkt) -> (lud, perms, Uu, Vu, Ul, Vl)
-        self.blr_ranks = {}
-
-    def max_rank(self) -> int:
-        """Largest compressed tile rank (reference 'maximum rank' stat)."""
-        import numpy as np
-        m = 0
-        for r in self.blr_ranks.values():
-            m = max(m, int(np.asarray(r).max()) if r.size else 0)
-        return m
-
-
-def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
-              blr_tol=1e-4) -> Factors:
-    """Numeric factorization given device values of the permuted matrix."""
-    plan = pdev.plan
-    Avals = jnp.asarray(Avals, dtype=dtype)
+def _factor_impl(pdev, arrays, Avals, thresh, tol):
     dtype = Avals.dtype
     vals_ext = jnp.concatenate(
         [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
-    rdt = jnp.real(jnp.zeros((), dtype)).dtype
-    thresh = jnp.asarray(thresh, dtype=rdt)
-    tol = jnp.asarray(blr_tol, dtype=rdt)
-    fac = Factors(pdev, dtype)
+    out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
+           "blr_ranks": {}}
     cb_flat = jnp.zeros((0,), dtype=dtype)
     for li, level in enumerate(pdev.levels):
         cb_parts = []
         for bi, bd in enumerate(level):
             bp = bd.bp
-            F = _assemble_scatter(vals_ext, bd.asm_bidx, bd.asm_r, bd.asm_c,
-                                  bd.asm_vidx, nf=bp.nf, p=bp.p)
+            a = arrays[f"{li},{bi}"]
+            F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
+            F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
+                vals_ext[a["asm_vidx"]])
             if bd.has_L:
-                F = _extend_add(F, cb_flat, bd.posL, bd.offL, bd.strideL)
+                F = _extend_add(F, cb_flat, a["posL"], a["offL"],
+                                a["strideL"])
             if bd.has_R:
-                F = _extend_add(F, cb_flat, bd.posR, bd.offR, bd.strideR)
+                F = _extend_add(F, cb_flat, a["posR"], a["offR"],
+                                a["strideR"])
             if bp.blr:
                 from . import blr as B
                 t = bp.tile
                 nt, nts = bp.p // t, bp.s_pad // t
                 lud, perms, Uu, Vu, Ul, Vl, CB, rk = B.blr_factor_bucket(
                     F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
-                fac.blr[(li, bi)] = (lud, perms, Uu, Vu, Ul, Vl)
-                fac.blr_ranks[(li, bi)] = rk
+                out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
+                out["blr_ranks"][f"{li},{bi}"] = rk
             else:
-                lu, perm, L21, U12, CB = _factor_bucket(F, thresh,
-                                                        s_pad=bp.s_pad)
-                fac.lu[(li, bi)] = lu
-                fac.perm[(li, bi)] = perm
-                fac.L21[(li, bi)] = L21
-                fac.U12[(li, bi)] = U12
+                lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
+                out["lu"][f"{li},{bi}"] = lu
+                out["perm"][f"{li},{bi}"] = perm
+                out["L21"][f"{li},{bi}"] = L21
+                out["U12"][f"{li},{bi}"] = U12
             cb_parts.append(CB.reshape(-1))
         cb_flat = (jnp.concatenate(cb_parts) if cb_parts
                    else jnp.zeros((0,), dtype=dtype))
-    return fac
+    return out
 
 
-def solve(fac: Factors, b) -> jnp.ndarray:
-    """Multifrontal solve for x with the factors; b is [n] or [n, nrhs] in
-    the *permuted+scaled* ordering (the driver handles transforms)."""
-    pdev = fac.pdev
+def _solve_impl(pdev, arrays, fac_tree, b):
+    """Traceable two-phase multifrontal solve; b is [n, nrhs] permuted."""
     plan = pdev.plan
     n = plan.n
-    b = jnp.asarray(b, dtype=fac.dtype)
-    squeeze = b.ndim == 1
-    if squeeze:
-        b = b[:, None]
+    dtype = b.dtype
     nrhs = b.shape[1]
-    bext = jnp.concatenate([b, jnp.zeros((1, nrhs), b.dtype)], axis=0)
+    bext = jnp.concatenate([b, jnp.zeros((1, nrhs), dtype)], axis=0)
 
-    # forward: deepest level first
     ys = {}
-    cbv_flat = jnp.zeros((0, nrhs), dtype=b.dtype)
+    cbv_flat = jnp.zeros((0, nrhs), dtype=dtype)
     for li, level in enumerate(pdev.levels):
         parts = []
         for bi, bd in enumerate(level):
             bp = bd.bp
+            a = arrays[f"{li},{bi}"]
+            key = f"{li},{bi}"
             bloc = jnp.concatenate(
-                [bext[bd.sep_glob], jnp.zeros((bp.nf, bp.u_pad, nrhs),
-                                              b.dtype)], axis=1)
+                [bext[a["sep_glob"]],
+                 jnp.zeros((bp.nf, bp.u_pad, nrhs), dtype)], axis=1)
             if bd.has_L:
-                bloc = _ext_add_vec(bloc, cbv_flat, bd.posL, bd.voffL)
+                bloc = _ext_add_vec(bloc, cbv_flat, a["posL"], a["voffL"])
             if bd.has_R:
-                bloc = _ext_add_vec(bloc, cbv_flat, bd.posR, bd.voffR)
+                bloc = _ext_add_vec(bloc, cbv_flat, a["posR"], a["voffR"])
             if bp.blr:
                 from . import blr as B
-                lud, perms, Uu, Vu, Ul, Vl = fac.blr[(li, bi)]
+                lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
                 t = bp.tile
                 y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
                                           nts=bp.s_pad // t, nt=bp.p // t)
             else:
-                y, cbv = _fwd_bucket(fac.lu[(li, bi)], fac.perm[(li, bi)],
-                                     fac.L21[(li, bi)], bloc, s_pad=bp.s_pad)
-            ys[(li, bi)] = y
+                s = bp.s_pad
+                lu = fac_tree["lu"][key]
+                perm = fac_tree["perm"][key]
+                L21 = fac_tree["L21"][key]
+                bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
+                y = jax.lax.linalg.triangular_solve(
+                    lu, bsep, left_side=True, lower=True, unit_diagonal=True)
+                cbv = bloc[:, s:] - jnp.matmul(
+                    L21, y, preferred_element_type=dtype)
+            ys[key] = y
             parts.append(cbv.reshape(-1, nrhs))
         cbv_flat = (jnp.concatenate(parts) if parts
-                    else jnp.zeros((0, nrhs), b.dtype))
+                    else jnp.zeros((0, nrhs), dtype))
 
-    # backward: root level last in pdev.levels -> iterate reversed
-    xext = jnp.zeros((n + 1, nrhs), dtype=b.dtype)
+    xext = jnp.zeros((n + 1, nrhs), dtype=dtype)
     for li in range(len(pdev.levels) - 1, -1, -1):
         for bi, bd in enumerate(pdev.levels[li]):
             bp = bd.bp
-            xupd = xext[bd.upd_glob]
+            a = arrays[f"{li},{bi}"]
+            key = f"{li},{bi}"
+            xupd = xext[a["upd_glob"]]
             if bp.blr:
                 from . import blr as B
-                lud, perms, Uu, Vu, Ul, Vl = fac.blr[(li, bi)]
+                lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
                 t = bp.tile
-                xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[(li, bi)], xupd,
-                                        t=t, nts=bp.s_pad // t,
-                                        nt=bp.p // t)
+                xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[key], xupd, t=t,
+                                        nts=bp.s_pad // t, nt=bp.p // t)
             else:
-                xsep = _bwd_bucket(fac.lu[(li, bi)], fac.U12[(li, bi)],
-                                   ys[(li, bi)], xupd)
-            xext = xext.at[bd.sep_glob.reshape(-1)].set(
-                xsep.reshape(-1, nrhs), mode="drop")
-            xext = xext.at[n].set(jnp.zeros((nrhs,), b.dtype))
-    x = xext[:n]
+                lu = fac_tree["lu"][key]
+                U12 = fac_tree["U12"][key]
+                z = ys[key] - jnp.matmul(U12, xupd,
+                                         preferred_element_type=dtype)
+                xsep = jax.lax.linalg.triangular_solve(
+                    lu, z, left_side=True, lower=False)
+            xext = xext.at[a["sep_glob"].reshape(-1)].set(
+                xsep.reshape(-1, nrhs))
+            xext = xext.at[n].set(jnp.zeros((nrhs,), dtype))
+    return xext[:n]
+
+
+# ---------------------------------------------------------------------------
+# public driver objects
+# ---------------------------------------------------------------------------
+
+class Factors:
+    """Numeric LU factors in level-batched layout (device pytree)."""
+
+    def __init__(self, pdev: PlanDev, dtype, tree):
+        self.pdev = pdev
+        self.dtype = dtype
+        self.tree = tree  # {"lu": {...}, "perm": ..., "blr": ...}
+
+    # dict-style views for tests / introspection
+    @property
+    def lu(self):
+        return {tuple(map(int, k.split(","))): v
+                for k, v in self.tree["lu"].items()}
+
+    @property
+    def blr(self):
+        return {tuple(map(int, k.split(","))): v
+                for k, v in self.tree["blr"].items()}
+
+    def max_rank(self) -> int:
+        m = 0
+        for r in self.tree["blr_ranks"].values():
+            m = max(m, int(np.asarray(r).max()) if r.size else 0)
+        return m
+
+    def factor_memory(self) -> int:
+        """Bytes held by the numeric factors."""
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(self.tree):
+            total += leaf.size * leaf.dtype.itemsize
+        return total
+
+
+def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
+              blr_tol=1e-4) -> Factors:
+    """Numeric factorization: one jitted program for the whole level loop
+    (cached per plan + dtype)."""
+    Avals = jnp.asarray(Avals, dtype=dtype)
+    dtype = Avals.dtype
+    rdt = jnp.real(jnp.zeros((), dtype)).dtype
+    key = ("factor", dtype.name)
+    fn = pdev._jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_factor_impl, pdev))
+        pdev._jit_cache[key] = fn
+    tree = fn(pdev.arrays, Avals,
+              jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))
+    return Factors(pdev, dtype, tree)
+
+
+def solve(fac: Factors, b) -> jnp.ndarray:
+    """Multifrontal solve; b is [n] or [n, nrhs] in the permuted+scaled
+    ordering (the driver handles transforms).  One jitted program."""
+    pdev = fac.pdev
+    b = jnp.asarray(b, dtype=fac.dtype)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    key = ("solve", fac.dtype.name, b.shape[1])
+    fn = pdev._jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_solve_impl, pdev))
+        pdev._jit_cache[key] = fn
+    x = fn(pdev.arrays, fac.tree, b)
     return x[:, 0] if squeeze else x

@@ -1,0 +1,196 @@
+"""HODLR matrices with Sherman-Morrison-Woodbury factorization (JAX).
+
+Role of the reference's ``HODLR/HODLRMatrix`` (a wrapper over the Fortran
+ButterflyPACK library, HODLRMatrix.hpp:144-187: construct from dense /
+elements, compress, factor, solve, matvec).  Here a native TPU
+implementation for the HODLR format:
+
+* perfect binary tree over an identity-padded range (like hss.py): at each
+  level the two sibling off-diagonal blocks of every node are compressed
+  independently to rank <= r (truncated SVD, masked actual rank) — HODLR's
+  weak admissibility, no nested bases;
+* factorization is the recursive Sherman-Morrison-Woodbury scheme: the
+  matrix is block-diagonal at the leaf level plus one disjoint-support
+  low-rank correction per level; the inverse is applied leaf-LU first,
+  then per-level capacitance corrections (all batched [2^l, 2r, 2r] dense
+  LUs) — O(r m log^2 m) work, all static shapes.
+
+This plays the role of ButterflyPACK's HODLR solver for the structured
+API; the butterfly (HODBF) refinement is future work.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hss import _pad_pow2, _trunc_basis
+
+
+class HODLRMatrix:
+    def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6):
+        A = jnp.asarray(A)
+        self.m = A.shape[0]
+        self.t = int(leaf_size)
+        self.mp, self.L = _pad_pow2(self.m, self.t)
+        self.r = int(max_rank) if max_rank else max(8, self.t // 2)
+        self.rel_tol = rel_tol
+        self.dtype = A.dtype
+        self._compress(A)
+        self._factored = False
+
+    def _compress(self, A):
+        m, mp, t, r, L = self.m, self.mp, self.t, self.r, self.L
+        tol = jnp.asarray(self.rel_tol, jnp.real(jnp.zeros((), A.dtype)).dtype)
+        if mp != m:
+            Ap = jnp.zeros((mp, mp), A.dtype)
+            Ap = Ap.at[:m, :m].set(A)
+            Ap = Ap.at[jnp.arange(m, mp), jnp.arange(m, mp)].set(1.0)
+        else:
+            Ap = A
+        nl = 2 ** L
+        self.D = Ap.reshape(nl, t, nl, t).transpose(0, 2, 1, 3)[
+            jnp.arange(nl), jnp.arange(nl)]
+        # per level l (pairs at level l, child block m_l): off-diag factors
+        self.P12, self.Q12, self.P21, self.Q21 = [], [], [], []
+        self.maxrank = 0
+        for lev in range(L - 1, -1, -1):
+            half = 2 ** lev
+            ml = mp // (2 * half)
+            Ar = Ap.reshape(2 * half, ml, 2 * half, ml)
+            i1 = 2 * jnp.arange(half)
+            i2 = i1 + 1
+            A12 = Ar[i1, :, i2, :]    # [half, ml, ml]
+            A21 = Ar[i2, :, i1, :]
+            U12, S12, V12 = jnp.linalg.svd(A12, full_matrices=False)
+            U21, S21, V21 = jnp.linalg.svd(A21, full_matrices=False)
+
+            def trunc(U, S, Vh):
+                # A ~= P @ Q with P [ml, r] = U*S, Q [r, ml] = Vh rows
+                s0 = S[..., :1]
+                keep = (S > tol * jnp.maximum(
+                    s0, jnp.finfo(A.dtype).tiny))[..., :r]
+                P = jnp.where(keep[..., None, :], U[..., :, :r], 0.0) \
+                    * jnp.where(keep, S[..., :r], 0.0)[..., None, :]
+                Q = jnp.where(keep[..., :, None], Vh[..., :r, :], 0.0)
+                return P, Q, keep.sum(-1)
+
+            P12, Q12, k1 = trunc(U12, S12, V12)
+            P21, Q21, k2 = trunc(U21, S21, V21)
+            self.maxrank = max(self.maxrank, int(jnp.maximum(
+                k1.max(), k2.max())))
+            self.P12.append(P12)
+            self.Q12.append(Q12)
+            self.P21.append(P21)
+            self.Q21.append(Q21)
+
+    # ------------------------------------------------------------------
+    def matvec(self, x):
+        m, mp, t, L = self.m, self.mp, self.t, self.L
+        squeeze = x.ndim == 1
+        x = jnp.asarray(x, self.dtype)
+        if squeeze:
+            x = x[:, None]
+        k = x.shape[1]
+        xp = jnp.zeros((mp, k), self.dtype).at[:m].set(x)
+        nl = 2 ** L
+        y = jnp.einsum("nts,nsk->ntk", self.D,
+                       xp.reshape(nl, t, k)).reshape(mp, k)
+        for li, lev in enumerate(range(L - 1, -1, -1)):
+            half = 2 ** lev
+            ml = mp // (2 * half)
+            xb = xp.reshape(half, 2, ml, k)
+            y12 = jnp.einsum("hmr,hrk->hmk", self.P12[li],
+                             jnp.einsum("hrm,hmk->hrk", self.Q12[li],
+                                        xb[:, 1]))
+            y21 = jnp.einsum("hmr,hrk->hmk", self.P21[li],
+                             jnp.einsum("hrm,hmk->hrk", self.Q21[li],
+                                        xb[:, 0]))
+            yb = jnp.stack([y12, y21], axis=1).reshape(mp, k)
+            y = y + yb
+        return (y[:m, 0] if squeeze else y[:m])
+
+    # ------------------------------------------------------------------
+    def factor(self, thresh=0.0):
+        """Leaf LUs + per-level SMW capacitance factorizations."""
+        mp, t, r, L = self.mp, self.t, self.r, self.L
+        dt = self.dtype
+        nl = 2 ** L
+        lu, _, perm = jax.lax.linalg.lu(self.D)
+        self._leaf = (lu, perm)
+        self._smw = []
+
+        def chain_apply(x, upto):
+            """Apply inv(A_level) with corrections up to index `upto`."""
+            xb = x.reshape(nl, t, -1)
+            xb = _lu_app(self._leaf[0], self._leaf[1], xb)
+            x = xb.reshape(mp, -1)
+            for li in range(upto):
+                x = self._apply_corr(li, x)
+            return x
+
+        for li, lev in enumerate(range(L - 1, -1, -1)):
+            half = 2 ** lev
+            ml = mp // (2 * half)
+            # U = [[P12,0],[0,P21]] per pair; pair supports are disjoint and
+            # the inverse chain is block-local, so all pairs share one
+            # [mp, 2r] right-hand side (column c holds every pair's c-th
+            # column simultaneously).
+            U = jnp.zeros((half, 2 * ml, 2 * r), dt)
+            U = U.at[:, :ml, :r].set(self.P12[li])
+            U = U.at[:, ml:, r:].set(self.P21[li])
+            Yp = chain_apply(U.reshape(mp, 2 * r), li)
+            Yp = Yp.reshape(half, 2 * ml, 2 * r)
+            # V^T restricted: rows = [[0, Q12],[Q21, 0]] layout
+            Vt = jnp.zeros((half, 2 * r, 2 * ml), dt)
+            Vt = Vt.at[:, :r, ml:].set(self.Q12[li])
+            Vt = Vt.at[:, r:, :ml].set(self.Q21[li])
+            cap = jnp.eye(2 * r, dtype=dt)[None] + jnp.matmul(
+                Vt, Yp, preferred_element_type=dt)
+            caplu, _, capperm = jax.lax.linalg.lu(cap)
+            self._smw.append(dict(Y=Yp, Vt=Vt, caplu=caplu,
+                                  capperm=capperm, ml=ml, half=half))
+        self._factored = True
+
+    def _apply_corr(self, li, x):
+        s = self._smw[li]
+        half, ml = s["half"], s["ml"]
+        k = x.shape[1]
+        xb = x.reshape(half, 2 * ml, k)
+        vtx = jnp.matmul(s["Vt"], xb, preferred_element_type=x.dtype)
+        w = _lu_app(s["caplu"], s["capperm"], vtx)
+        return (xb - jnp.matmul(s["Y"], w, preferred_element_type=x.dtype)
+                ).reshape(-1, k)
+
+    def solve(self, b):
+        if not self._factored:
+            self.factor()
+        m, mp, t, L = self.m, self.mp, self.t, self.L
+        squeeze = b.ndim == 1
+        b = jnp.asarray(b, self.dtype)
+        if squeeze:
+            b = b[:, None]
+        k = b.shape[1]
+        x = jnp.zeros((mp, k), self.dtype).at[:m].set(b)
+        nl = 2 ** L
+        xb = _lu_app(self._leaf[0], self._leaf[1], x.reshape(nl, t, k))
+        x = xb.reshape(mp, k)
+        for li in range(len(self._smw)):
+            x = self._apply_corr(li, x)
+        return (x[:m, 0] if squeeze else x[:m])
+
+    def memory(self) -> int:
+        tot = self.D.size
+        for a in self.P12 + self.Q12 + self.P21 + self.Q21:
+            tot += a.size
+        return int(tot)
+
+    def max_rank(self) -> int:
+        return self.maxrank
+
+
+def _lu_app(lu, perm, b):
+    bp = jnp.take_along_axis(b, perm[..., None], axis=-2)
+    y = jax.lax.linalg.triangular_solve(lu, bp, left_side=True, lower=True,
+                                        unit_diagonal=True)
+    return jax.lax.linalg.triangular_solve(lu, y, left_side=True, lower=False)

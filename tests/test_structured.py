@@ -1,0 +1,106 @@
+"""StructuredMatrix facade + HODLR + kernel regression tests.
+
+Model: the reference's examples/dense structured tests and
+test_HSS/BLR_seq option sweeps, plus the kernel regression example
+(examples/dense/testKernelRegression).
+"""
+import numpy as np
+import pytest
+
+from strumpack_tpu.structured.structured import (StructuredOptions, Type,
+                                                 construct_from_dense,
+                                                 construct_from_elements)
+
+
+def cauchyish(m, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0, 1, m))
+    return 1.0 / (0.05 + np.abs(x[:, None] - x[None, :])) + np.eye(m) * 50
+
+
+@pytest.mark.parametrize("t", [Type.HSS, Type.HODLR, Type.BLR, Type.LOSSY])
+def test_facade_mult_factor_solve(t):
+    m = 256
+    A = cauchyish(m)
+    tol = 1e-8 if t != Type.LOSSY else 1e-2
+    S = construct_from_dense(A, StructuredOptions(type=t, rel_tol=tol,
+                                                  leaf_size=32, max_rank=24))
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(m)
+    y = np.asarray(S.mult(x))
+    mv_tol = 1e-5 if t != Type.LOSSY else 2e-2
+    assert np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x) < mv_tol
+    S.factor()
+    xs = np.asarray(S.solve(A @ x))
+    sv_tol = 1e-4 if t != Type.LOSSY else 5e-2
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < sv_tol
+    assert S.memory() > 0
+
+
+def test_facade_lr():
+    rng = np.random.default_rng(2)
+    m = 200
+    A = rng.standard_normal((m, 7)) @ rng.standard_normal((7, m))
+    S = construct_from_dense(A, StructuredOptions(type=Type.LR,
+                                                  rel_tol=1e-10))
+    assert S.rank() == 7
+    x = rng.standard_normal(m)
+    assert np.linalg.norm(np.asarray(S.mult(x)) - A @ x) < 1e-8
+    assert S.memory() < m * m / 5
+
+
+def test_construct_from_elements():
+    m = 128
+    S = construct_from_elements(
+        lambda i, j: 1.0 / (1.0 + np.abs(i - j)) + 4.0 * (i == j),
+        m, m, StructuredOptions(type=Type.HSS, rel_tol=1e-8, leaf_size=32))
+    i = np.arange(m)
+    A = 1.0 / (1.0 + np.abs(i[:, None] - i[None, :])) + 4.0 * np.eye(m)
+    x = np.random.default_rng(0).standard_normal(m)
+    assert np.linalg.norm(np.asarray(S.mult(x)) - A @ x) < 1e-5
+
+
+def test_hodlr_matvec_solve():
+    from strumpack_tpu.structured.hodlr import HODLRMatrix
+    m = 300
+    A = cauchyish(m, seed=4)
+    H = HODLRMatrix(A, leaf_size=32, max_rank=24, rel_tol=1e-10)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((m, 2))
+    assert np.linalg.norm(np.asarray(H.matvec(x)) - A @ x) < 1e-7 * np.linalg.norm(A @ x)
+    xs = np.asarray(H.solve(A @ x))
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-7
+
+
+def test_kernel_regression_classification():
+    """Two-moons-ish binary classification via HSS kernel ridge
+    (STRUMPACKKernel sklearn-estimator analog)."""
+    from strumpack_tpu.kernel.kernel import KernelRegressionClassifier
+    rng = np.random.default_rng(5)
+    n = 400
+    theta = rng.uniform(0, np.pi, n)
+    X1 = np.stack([np.cos(theta), np.sin(theta)], 1) + 0.1 * rng.standard_normal((n, 2))
+    X2 = np.stack([1 - np.cos(theta), 0.5 - np.sin(theta)], 1) + 0.1 * rng.standard_normal((n, 2))
+    X = np.concatenate([X1, X2])
+    y = np.concatenate([np.zeros(n), np.ones(n)])
+    idx = rng.permutation(2 * n)
+    X, y = X[idx], y[idx]
+    ntr = 600
+    clf = KernelRegressionClassifier(h=0.3, lam=1.0, fmt="hss",
+                                     leaf_size=64, rel_tol=1e-6)
+    clf.fit(X[:ntr], y[:ntr])
+    acc = clf.score(X[ntr:], y[ntr:])
+    assert acc > 0.92, acc
+
+
+def test_gauss_kernel_fit_predict_regression():
+    from strumpack_tpu.kernel.kernel import GaussKernel
+    rng = np.random.default_rng(6)
+    n = 300
+    X = rng.uniform(-2, 2, (n, 1))
+    y = np.sin(2 * X[:, 0]) + 0.01 * rng.standard_normal(n)
+    k = GaussKernel(h=0.5, lam=1e-3)
+    k.fit_HODLR(X, y, leaf_size=32, rel_tol=1e-8)
+    Xt = np.linspace(-1.5, 1.5, 50)[:, None]
+    pred = k.predict(Xt)
+    assert np.max(np.abs(pred - np.sin(2 * Xt[:, 0]))) < 0.1
