@@ -34,24 +34,26 @@ from .plan import BucketPlan, LevelPlan
 # ---------------------------------------------------------------------------
 
 class BucketDev:
-    """Device copies of a BucketPlan's index arrays."""
+    """Host staging of a BucketPlan's index arrays (device_put'd in bulk
+    by PlanDev — one batched transfer, not one per array, because each
+    synchronous transfer through the TPU tunnel pays full latency)."""
 
     def __init__(self, bp: BucketPlan):
         self.bp = bp
         self.has_L = bool((bp.posL >= 0).any())
         self.has_R = bool((bp.posR >= 0).any())
-        self.arrays = dict(
-            asm_bidx=jnp.asarray(bp.asm_bidx),
-            asm_r=jnp.asarray(bp.asm_r),
-            asm_c=jnp.asarray(bp.asm_c),
-            asm_vidx=jnp.asarray(bp.asm_vidx),
-            posL=jnp.asarray(bp.posL), posR=jnp.asarray(bp.posR),
-            offL=jnp.asarray(bp.offL), offR=jnp.asarray(bp.offR),
-            strideL=jnp.asarray(bp.strideL),
-            strideR=jnp.asarray(bp.strideR),
-            voffL=jnp.asarray(bp.voffL), voffR=jnp.asarray(bp.voffR),
-            sep_glob=jnp.asarray(bp.sep_glob),
-            upd_glob=jnp.asarray(bp.upd_glob),
+        self.host_arrays = dict(
+            asm_bidx=bp.asm_bidx,
+            asm_r=bp.asm_r,
+            asm_c=bp.asm_c,
+            asm_vidx=bp.asm_vidx.astype(np.int32)
+            if bp.asm_vidx.max(initial=0) < 2**31 else bp.asm_vidx,
+            posL=bp.posL, posR=bp.posR,
+            offL=bp.offL, offR=bp.offR,
+            strideL=bp.strideL, strideR=bp.strideR,
+            voffL=bp.voffL, voffR=bp.voffR,
+            sep_glob=bp.sep_glob,
+            upd_glob=bp.upd_glob,
         )
 
 
@@ -59,9 +61,10 @@ class PlanDev:
     def __init__(self, plan: LevelPlan):
         self.plan = plan
         self.levels = [[BucketDev(bp) for bp in lvl] for lvl in plan.levels]
-        self.arrays = {f"{li},{bi}": bd.arrays
-                       for li, lvl in enumerate(self.levels)
-                       for bi, bd in enumerate(lvl)}
+        host = {f"{li},{bi}": bd.host_arrays
+                for li, lvl in enumerate(self.levels)
+                for bi, bd in enumerate(lvl)}
+        self.arrays = jax.device_put(host)
         self._jit_cache = {}
 
 

@@ -29,6 +29,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..frontal.numeric import PlanDev
 
 
+def _blk_2d(s: int) -> int:
+    for b in (512, 256, 128, 64, 32, 16, 8):
+        if s % b == 0 and s // b >= 2:
+            return b
+    return s
+
+
 def _shard_bucket(arr, mesh, nf):
     """Shard a [nf, ...] bucket tensor over the 'b' mesh axis when the
     batch divides evenly; replicate otherwise (top-of-tree buckets)."""
@@ -60,13 +67,14 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
             parts = []
             for bi, bd in enumerate(level):
                 bp = bd.bp
+                a = pdev.arrays[f"{li},{bi}"]
                 F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
-                F = F.at[bd.asm_bidx, bd.asm_r, bd.asm_c].add(
-                    vals_ext[bd.asm_vidx])
+                F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
+                    vals_ext[a["asm_vidx"]])
                 F = _shard_bucket(F, mesh, bp.nf)
                 for has, pos, off, stride in (
-                        (bd.has_L, bd.posL, bd.offL, bd.strideL),
-                        (bd.has_R, bd.posR, bd.offR, bd.strideR)):
+                        (bd.has_L, a["posL"], a["offL"], a["strideL"]),
+                        (bd.has_R, a["posR"], a["offR"], a["strideR"])):
                     if not has:
                         continue
                     idx = (off[:, None, None]
@@ -77,6 +85,16 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                     F = F + jnp.where(mask, cb_flat[safe],
                                       jnp.zeros((), dtype))
                 s = bp.s_pad
+                use_2d = (bp.nf == 1 and bp.u_pad == 0 and "r" in
+                          mesh.axis_names and "c" in mesh.axis_names
+                          and s >= 2 * _blk_2d(s))
+                if use_2d:
+                    from .dist2d import sharded_blocked_lu
+                    LU2, perms2 = sharded_blocked_lu(
+                        F[0], mesh, _blk_2d(s), th)
+                    lus[(li, bi)] = ("2d", LU2, perms2, _blk_2d(s))
+                    parts.append(jnp.zeros((0,), dtype))
+                    continue
                 lu, _, perm = jax.lax.linalg.lu(F[:, :s, :s])
                 d = jnp.diagonal(lu, axis1=-2, axis2=-1)
                 repl = jnp.where(jnp.abs(d) < th,
@@ -111,11 +129,12 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
             parts = []
             for bi, bd in enumerate(level):
                 bp = bd.bp
+                a = pdev.arrays[f"{li},{bi}"]
                 bloc = jnp.concatenate(
-                    [bext[bd.sep_glob],
+                    [bext[a["sep_glob"]],
                      jnp.zeros((bp.nf, bp.u_pad, 1), dtype)], axis=1)
-                for has, pos, voff in ((bd.has_L, bd.posL, bd.voffL),
-                                       (bd.has_R, bd.posR, bd.voffR)):
+                for has, pos, voff in ((bd.has_L, a["posL"], a["voffL"]),
+                                       (bd.has_R, a["posR"], a["voffR"])):
                     if not has:
                         continue
                     idx = voff[:, None] + pos
@@ -123,10 +142,15 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                     bloc = bloc + jnp.where((pos >= 0)[:, :, None],
                                             cbv[safe], jnp.zeros((), dtype))
                 s = bp.s_pad
+                entry = lus[(li, bi)]
+                if isinstance(entry, tuple) and entry[0] == "2d":
+                    ys[(li, bi)] = bloc[:, :s]   # solved in backward sweep
+                    parts.append(jnp.zeros((0, 1), dtype))
+                    continue
                 bsep = jnp.take_along_axis(bloc[:, :s],
                                            perms[(li, bi)][:, :, None], 1)
                 y = jax.lax.linalg.triangular_solve(
-                    lus[(li, bi)], bsep, left_side=True, lower=True,
+                    entry, bsep, left_side=True, lower=True,
                     unit_diagonal=True)
                 ys[(li, bi)] = y
                 parts.append((bloc[:, s:] - jnp.matmul(
@@ -138,12 +162,21 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
         xext = jnp.zeros((n + 1, 1), dtype)
         for li in range(len(pdev.levels) - 1, -1, -1):
             for bi, bd in enumerate(pdev.levels[li]):
-                xupd = xext[bd.upd_glob]
-                z = ys[(li, bi)] - jnp.matmul(
-                    U12s[(li, bi)], xupd, preferred_element_type=dtype)
-                xsep = jax.lax.linalg.triangular_solve(
-                    lus[(li, bi)], z, left_side=True, lower=False)
-                xext = xext.at[bd.sep_glob.reshape(-1)].set(
+                bp = bd.bp
+                a = pdev.arrays[f"{li},{bi}"]
+                xupd = xext[a["upd_glob"]]
+                entry = lus[(li, bi)]
+                if isinstance(entry, tuple) and entry[0] == "2d":
+                    from .dist2d import sharded_lu_solve
+                    _, LU2, perms2, blk = entry
+                    xsep = sharded_lu_solve(LU2, perms2, ys[(li, bi)][0],
+                                            mesh, blk)[None]
+                else:
+                    z = ys[(li, bi)] - jnp.matmul(
+                        U12s[(li, bi)], xupd, preferred_element_type=dtype)
+                    xsep = jax.lax.linalg.triangular_solve(
+                        entry, z, left_side=True, lower=False)
+                xext = xext.at[a["sep_glob"].reshape(-1)].set(
                     xsep.reshape(-1, 1))
                 xext = xext.at[n].set(jnp.zeros((1,), dtype))
         return xext[:n, 0]

@@ -1,0 +1,129 @@
+"""2D-sharded blocked LU for large (root) fronts.
+
+Role of the reference's distributed dense front factorization
+(FrontDenseMPI::partial_factorization, FrontDenseMPI.cpp:150-205: ScaLAPACK
+pgetrf + ptrsm + pgemm on a 2D block-cyclic BLACSGrid) re-expressed for a
+TPU mesh: the front lives sharded P('r','c') over the mesh; a static panel
+loop does
+
+  panel LU (replicated small block) -> row-panel trsm (sharded over 'c')
+  -> col-panel trsm (sharded over 'r') -> rank-b trailing update
+  (matmul P('r',None) x P(None,'c'), no communication beyond the panel
+  broadcasts XLA inserts)
+
+— exactly ScaLAPACK's communication pattern (panel broadcast along rows and
+columns of the grid) with XLA GSPMD playing the role of BLACS.  No row
+pivoting across panels: diagonal blocks use within-block partial pivoting
+plus the tiny-pivot replacement threshold, the reference's preconditioner-
+mode trade-off (GPU fronts make the same one, FrontGPU small-front kernels
+pivot only within the front).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _c(mesh, *spec):
+    return lambda x: jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
+def sharded_blocked_lu(A, mesh: Mesh, blk: int = 256, thresh=0.0):
+    """In-place-style blocked LU of A [m, m] sharded over mesh axes
+    ('r', 'c').  Returns (LU_packed, perms [nb, blk]) with per-diagonal-
+    block pivot permutations."""
+    m = A.shape[0]
+    assert m % blk == 0
+    nb = m // blk
+    shard = _c(mesh, "r", "c")
+    repl = _c(mesh)
+    A = shard(A)
+    perms = []
+    for k in range(nb):
+        o = k * blk
+        diag = repl(jax.lax.dynamic_slice(A, (o, o), (blk, blk)))
+        lu_d, _, perm = jax.lax.linalg.lu(diag)
+        d = jnp.diagonal(lu_d)
+        repl_d = jnp.where(jnp.abs(d) < thresh,
+                          jnp.where(d == 0, thresh,
+                                    jnp.sign(d.real).astype(d.dtype) * thresh),
+                          d)
+        lu_d = lu_d.at[jnp.arange(blk), jnp.arange(blk)].set(repl_d)
+        perms.append(perm)
+        # row panel: U_k = L_d^-1 P A[o:o+blk, o+blk:]
+        if k < nb - 1:
+            rowp = jax.lax.dynamic_slice(A, (o, o + blk),
+                                         (blk, m - o - blk))
+            rowp = _c(mesh, None, "c")(rowp)
+            rowp = jnp.take(rowp, perm, axis=0)
+            rowp = jax.lax.linalg.triangular_solve(
+                lu_d, rowp, left_side=True, lower=True, unit_diagonal=True)
+            rowp = _c(mesh, None, "c")(rowp)
+            # col panel: L_k = A[o+blk:, o:o+blk] U_d^-1
+            colp = jax.lax.dynamic_slice(A, (o + blk, o),
+                                         (m - o - blk, blk))
+            colp = _c(mesh, "r", None)(colp)
+            colp = jax.lax.linalg.triangular_solve(
+                lu_d, colp, left_side=False, lower=False)
+            colp = _c(mesh, "r", None)(colp)
+            # trailing update
+            trail = jax.lax.dynamic_slice(A, (o + blk, o + blk),
+                                          (m - o - blk, m - o - blk))
+            trail = shard(trail) - _c(mesh, "r", "c")(jnp.matmul(
+                colp, rowp, preferred_element_type=A.dtype))
+            A = jax.lax.dynamic_update_slice(A, lu_d, (o, o))
+            A = jax.lax.dynamic_update_slice(A, rowp, (o, o + blk))
+            A = jax.lax.dynamic_update_slice(A, colp, (o + blk, o))
+            A = jax.lax.dynamic_update_slice(A, trail, (o + blk, o + blk))
+        else:
+            A = jax.lax.dynamic_update_slice(A, lu_d, (o, o))
+        A = shard(A)
+    return A, jnp.stack(perms)
+
+
+def sharded_lu_solve(LU, perms, b, mesh: Mesh, blk: int = 256):
+    """Solve with the blocked-LU factors: block forward/backward sweeps.
+    b [m] or [m, k] replicated; LU sharded P('r','c')."""
+    m = LU.shape[0]
+    nb = m // blk
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    repl = _c(mesh)
+    b = repl(b.astype(LU.dtype))
+    # forward
+    for k in range(nb):
+        o = k * blk
+        bk = jax.lax.dynamic_slice(b, (o, 0), (blk, b.shape[1]))
+        bk = jnp.take(bk, perms[k], axis=0)
+        diag = repl(jax.lax.dynamic_slice(LU, (o, o), (blk, blk)))
+        yk = jax.lax.linalg.triangular_solve(
+            diag, bk, left_side=True, lower=True, unit_diagonal=True)
+        b = jax.lax.dynamic_update_slice(b, yk, (o, 0))
+        if k < nb - 1:
+            Lbelow = repl(jax.lax.dynamic_slice(
+                LU, (o + blk, o), (m - o - blk, blk)))
+            rest = jax.lax.dynamic_slice(b, (o + blk, 0),
+                                         (m - o - blk, b.shape[1]))
+            rest = rest - jnp.matmul(Lbelow, yk,
+                                     preferred_element_type=LU.dtype)
+            b = jax.lax.dynamic_update_slice(b, rest, (o + blk, 0))
+    # backward
+    for k in range(nb - 1, -1, -1):
+        o = k * blk
+        bk = jax.lax.dynamic_slice(b, (o, 0), (blk, b.shape[1]))
+        diag = repl(jax.lax.dynamic_slice(LU, (o, o), (blk, blk)))
+        xk = jax.lax.linalg.triangular_solve(
+            diag, bk, left_side=True, lower=False)
+        b = jax.lax.dynamic_update_slice(b, xk, (o, 0))
+        if k > 0:
+            Uabove = repl(jax.lax.dynamic_slice(LU, (0, o), (o, blk)))
+            top = jax.lax.dynamic_slice(b, (0, 0), (o, b.shape[1]))
+            top = top - jnp.matmul(Uabove, xk,
+                                   preferred_element_type=LU.dtype)
+            b = jax.lax.dynamic_update_slice(b, top, (0, 0))
+    return b[:, 0] if squeeze else b

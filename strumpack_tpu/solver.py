@@ -268,6 +268,21 @@ class SparseSolver:
                 bdev = jnp.asarray(bcol, dtype=rd)
                 x0dev = (jnp.asarray(x0col, dtype=rd)
                          if x0col is not None else None)
+                if (solver == KrylovSolver.REFINE and x0col is None
+                        and not opts.verbose):
+                    # production path: whole IR loop on device
+                    from .krylov.device_loop import make_device_ir
+                    key = ("ir", rd.name, opts.rel_tol, opts.abs_tol,
+                           opts.maxit)
+                    fn = self.pdev._jit_cache.get(key)
+                    if fn is None:
+                        fn = make_device_ir(self.pdev, self.ell,
+                                            opts.rel_tol, opts.abs_tol,
+                                            opts.maxit)
+                        self.pdev._jit_cache[key] = fn
+                    x, it, rel = fn(self.fac.tree, self.ell.vals,
+                                    self.ell.cols, bdev)
+                    return x, int(it), float(rel)
                 if solver == KrylovSolver.REFINE:
                     return K.iterative_refinement(
                         spmv, prec, bdev, x0dev, rtol=opts.rel_tol,

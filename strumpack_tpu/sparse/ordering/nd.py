@@ -99,11 +99,16 @@ def nested_dissection(rowptr, colind, n, leaf: int = 32):
     symmetrized pattern (reference symmetrizes before ND too,
     SparseSolverBase.cpp:353).
     """
+    try:
+        from ...native import nested_dissection_native
+        out = nested_dissection_native(rowptr, colind, n, leaf=leaf)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     rowptr = np.asarray(rowptr)
     colind = np.asarray(colind)
     tb = TreeBuilder()
-
-    work = [(np.arange(n, dtype=np.int64), None, None)]
     # iterative postorder construction via explicit stack
     def rec(ids):
         if len(ids) <= leaf:

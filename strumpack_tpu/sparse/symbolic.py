@@ -17,7 +17,17 @@ from .separator_tree import SeparatorTree
 
 
 def symbolic_factorization(Ap: CSRMatrix, tree: SeparatorTree) -> list[np.ndarray]:
-    """Compute per-front update index sets, postorder (children first)."""
+    """Compute per-front update index sets, postorder (children first).
+
+    Dispatches to the native C++ implementation when available
+    (strumpack_tpu/native/hostsym.cpp), falling back to NumPy."""
+    try:
+        from ..native import symbolic_factorization_native
+        out = symbolic_factorization_native(Ap, tree)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     upd: list[np.ndarray] = [None] * tree.nseps
     rp, ci = Ap.rowptr, Ap.colind
     for i in range(tree.nseps):
