@@ -111,6 +111,22 @@ def _factor_bucket(F, thresh, s_pad):
     return lu, perm, L21, U12, CB
 
 
+def _factor_bucket_spd(F, s_pad):
+    """Batched Cholesky partial factorization (SPD fronts).
+
+    Mirrors the reference's symmetric positive definite front path
+    (FrontGPUSPD.cpp: batched Cholesky + trsm + syrk Schur update).
+    Returns (chol [nf,s,s] lower, L21 [nf,u,s], CB [nf,u,u])."""
+    sp = s_pad
+    L = jax.lax.linalg.cholesky(F[:, :sp, :sp])
+    L21 = jax.lax.linalg.triangular_solve(
+        L, F[:, sp:, :sp], left_side=False, lower=True, transpose_a=True,
+        conjugate_a=True)
+    CB = F[:, sp:, sp:] - jnp.matmul(
+        L21, L21.conj().transpose(0, 2, 1), preferred_element_type=F.dtype)
+    return L, L21, CB
+
+
 def _ext_add_vec(v, cbv_flat, pos, voff):
     idx = voff[:, None] + pos
     mask = pos >= 0
@@ -123,7 +139,7 @@ def _ext_add_vec(v, cbv_flat, pos, voff):
 # whole-phase programs
 # ---------------------------------------------------------------------------
 
-def _factor_impl(pdev, arrays, Avals, thresh, tol):
+def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False):
     dtype = Avals.dtype
     vals_ext = jnp.concatenate(
         [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
@@ -152,6 +168,10 @@ def _factor_impl(pdev, arrays, Avals, thresh, tol):
                     F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
                 out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
                 out["blr_ranks"][f"{li},{bi}"] = rk
+            elif spd:
+                L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
+                out["lu"][f"{li},{bi}"] = L
+                out["L21"][f"{li},{bi}"] = L21
             else:
                 lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
                 out["lu"][f"{li},{bi}"] = lu
@@ -193,6 +213,14 @@ def _solve_impl(pdev, arrays, fac_tree, b):
                 t = bp.tile
                 y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
                                           nts=bp.s_pad // t, nt=bp.p // t)
+            elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
+                s = bp.s_pad
+                L = fac_tree["lu"][key]
+                L21 = fac_tree["L21"][key]
+                y = jax.lax.linalg.triangular_solve(
+                    L, bloc[:, :s], left_side=True, lower=True)
+                cbv = bloc[:, s:] - jnp.matmul(
+                    L21, y, preferred_element_type=dtype)
             else:
                 s = bp.s_pad
                 lu = fac_tree["lu"][key]
@@ -221,6 +249,15 @@ def _solve_impl(pdev, arrays, fac_tree, b):
                 t = bp.tile
                 xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[key], xupd, t=t,
                                         nts=bp.s_pad // t, nt=bp.p // t)
+            elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
+                L = fac_tree["lu"][key]
+                L21 = fac_tree["L21"][key]
+                z = ys[key] - jnp.matmul(
+                    L21.conj().transpose(0, 2, 1), xupd,
+                    preferred_element_type=dtype)
+                xsep = jax.lax.linalg.triangular_solve(
+                    L, z, left_side=True, lower=True, transpose_a=True,
+                    conjugate_a=True)
             else:
                 lu = fac_tree["lu"][key]
                 U12 = fac_tree["U12"][key]
@@ -263,6 +300,36 @@ class Factors:
             m = max(m, int(np.asarray(r).max()) if r.size else 0)
         return m
 
+    def inertia(self):
+        """(n_pos, n_neg, n_zero) from the U diagonals; INACCURATE when any
+        partial-pivot permutation is nontrivial (SparseSolverBase.hpp:368,
+        inertia only exact without row pivoting)."""
+        npos = nneg = nzero = 0
+        exact = True
+        for key, lu in self.tree["lu"].items():
+            li, bi = map(int, key.split(","))
+            bp = self.pdev.levels[li][bi].bp
+            d = np.asarray(jnp.diagonal(lu, axis1=-2, axis2=-1))
+            mask = np.arange(bp.s_pad)[None, :] < np.asarray(bp.ds)[:, None]
+            dr = np.real(d)
+            npos += int(((dr > 0) & mask).sum())
+            nneg += int(((dr < 0) & mask).sum())
+            nzero += int(((dr == 0) & mask).sum())
+            if key in self.tree["perm"]:
+                perm = np.asarray(self.tree["perm"][key])
+                if (perm != np.arange(perm.shape[-1])[None]).any():
+                    exact = False
+        return npos, nneg, nzero, exact
+
+    def pivot_growth(self, amax: float) -> float:
+        """max |U| over the factors / max |A| (reference pivot-growth
+        diagnostic, SparseSolverBase.hpp:368-372)."""
+        m = 0.0
+        for lu in self.tree["lu"].values():
+            if lu.size:
+                m = max(m, float(jnp.max(jnp.abs(lu))))
+        return m / max(amax, 1e-300)
+
     def factor_memory(self) -> int:
         """Bytes held by the numeric factors."""
         total = 0
@@ -272,20 +339,22 @@ class Factors:
 
 
 def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
-              blr_tol=1e-4) -> Factors:
+              blr_tol=1e-4, spd=False) -> Factors:
     """Numeric factorization: one jitted program for the whole level loop
     (cached per plan + dtype)."""
     Avals = jnp.asarray(Avals, dtype=dtype)
     dtype = Avals.dtype
     rdt = jnp.real(jnp.zeros((), dtype)).dtype
-    key = ("factor", dtype.name)
+    key = ("factor", dtype.name, spd)
     fn = pdev._jit_cache.get(key)
     if fn is None:
-        fn = jax.jit(partial(_factor_impl, pdev))
+        fn = jax.jit(partial(_factor_impl, pdev, spd=spd))
         pdev._jit_cache[key] = fn
     tree = fn(pdev.arrays, Avals,
               jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))
-    return Factors(pdev, dtype, tree)
+    fac = Factors(pdev, dtype, tree)
+    fac.spd = spd
+    return fac
 
 
 def solve(fac: Factors, b) -> jnp.ndarray:
@@ -296,7 +365,8 @@ def solve(fac: Factors, b) -> jnp.ndarray:
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
-    key = ("solve", fac.dtype.name, b.shape[1])
+    spd = getattr(fac, "spd", False)
+    key = ("solve", fac.dtype.name, b.shape[1], spd)
     fn = pdev._jit_cache.get(key)
     if fn is None:
         fn = jax.jit(partial(_solve_impl, pdev))

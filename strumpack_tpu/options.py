@@ -103,9 +103,11 @@ class SPOptions:
     # scaling / matching
     matching: MatchingJob = MatchingJob.NONE
     equilibration: bool = True
-    # pivoting
+    # pivoting / symmetry
     pivoting: bool = True
     replace_tiny_pivots: bool = True
+    symmetric: bool = False
+    positive_definite: bool = False
     # compression (FrontFactory thresholds, StrumpackOptions.hpp:601-666)
     compression: CompressionType = CompressionType.NONE
     compression_min_sep_size: int = 256
@@ -160,6 +162,10 @@ class SPOptions:
             "sp_disable_pivoting": ("pivoting", False),
             "sp_enable_equilibration": ("equilibration", True),
             "sp_disable_equilibration": ("equilibration", False),
+            "sp_enable_symmetric": ("symmetric", True),
+            "sp_disable_symmetric": ("symmetric", False),
+            "sp_enable_positive_definite": ("positive_definite", True),
+            "sp_disable_positive_definite": ("positive_definite", False),
         }
 
         def setval(spec, val):

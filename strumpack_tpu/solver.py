@@ -87,6 +87,9 @@ class SparseSolver:
             A = apply_matching(A, self.mq, self.mdr, self.mdc)
         if self.opts.equilibration:
             dr, dc, *_ = A.equilibration()
+            if self.opts.symmetric or self.opts.positive_definite:
+                # symmetry-preserving scaling: D A D with D = sqrt(dr)
+                dr = dc = np.sqrt(dr * dc) if not np.allclose(dr, dc) else dr
             self.dr, self.dc = dr, dc
             self.Ascaled = A.scale_rows_cols(dr, dc)
         else:
@@ -193,7 +196,8 @@ class SparseSolver:
             thresh = np.sqrt(eps) * self.Ap.norm1()
         self.fac = numeric.factorize(
             self.pdev, self.Ap.data, thresh=thresh,
-            dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol)
+            dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol,
+            spd=opts.positive_definite)
         last = self.plan.n_levels - 1
         root_fac = (self.fac.lu.get((last, 0))
                     if (last, 0) in self.fac.lu
@@ -341,6 +345,20 @@ class SparseSolver:
 
     def factor_flops(self) -> int:
         return self.plan.factor_flops if self.plan else 0
+
+    def inertia(self):
+        """(n_pos, n_neg, n_zero, ReturnCode) — SparseSolverBase::inertia."""
+        if not self._factored:
+            self.factor()
+        npos, nneg, nzero, exact = self.fac.inertia()
+        rc = (ReturnCode.SUCCESS if exact
+              else ReturnCode.INACCURATE_INERTIA)
+        return npos, nneg, nzero, rc
+
+    def pivot_growth(self) -> float:
+        if not self._factored:
+            self.factor()
+        return self.fac.pivot_growth(float(np.abs(self.Ap.data).max()))
 
     def delete_factors(self) -> None:
         """Free numeric factors, keep symbolic analysis

@@ -203,3 +203,61 @@ def test_mc64_matching_badly_scaled():
     b2 = A2.spmv(xex)
     x2, rc = s.solve(b2)
     assert A2.max_scaled_residual(x2, b2) < ERROR_TOL * opts.rel_tol
+
+
+def test_helmholtz_complex():
+    """Complex (Helmholtz) solve — examples/sparse/testHelmholtz analog."""
+    from strumpack_tpu.sparse.gen import helmholtz3d
+    A = helmholtz3d(10, k0=8.0)
+    opts = SPOptions(factor_dtype="complex128", refine_dtype="complex128")
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n) + 1j * rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e-10
+
+
+def test_spd_cholesky_path():
+    """SPD Cholesky fronts — test_SPD_seq analog."""
+    A = poisson2d(25)
+    opts = SPOptions(symmetric=True, positive_definite=True,
+                     krylov_solver=KrylovSolver.DIRECT)
+    s, x, xex = check_solve(A, opts, nx=25, ny=25)
+    b = A.spmv(xex)
+    assert A.max_scaled_residual(x, b) < 1e-13
+    npos, nneg, nzero, rc = s.inertia()
+    assert nneg == 0 and nzero == 0 and npos == A.n
+
+
+def test_inertia_indefinite():
+    """Inertia of an indefinite diagonal-dominant symmetric matrix."""
+    import scipy.sparse as sp
+    n = 50
+    d = np.concatenate([np.full(30, 5.0), np.full(20, -5.0)])
+    rng = np.random.default_rng(1)
+    B = sp.random(n, n, density=0.05, random_state=rng)
+    S = sp.csr_matrix(sp.diags(d)) + 0.1 * (B + B.T)
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    A = CSRMatrix.from_scipy(sp.csr_matrix(S))
+    s = SparseSolver(SPOptions(equilibration=False))
+    s.set_csr_matrix(A)
+    s.factor()
+    npos, nneg, nzero, rc = s.inertia()
+    # diagonal dominance keeps inertia exact modulo pivoting
+    assert npos + nneg == n
+    assert abs(npos - 30) <= 2 and abs(nneg - 20) <= 2
+    assert s.pivot_growth() < 100.0
+
+
+def test_spd_mixed_precision():
+    """test_SPD_mixedPrecision analog: f32 Cholesky + f64 refinement."""
+    A = poisson2d(20)
+    opts = SPOptions(symmetric=True, positive_definite=True,
+                     factor_dtype="float32", refine_dtype="float64",
+                     rel_tol=1e-12, krylov_solver=KrylovSolver.REFINE)
+    s, x, xex = check_solve(A, opts, nx=20, ny=20)
+    b = A.spmv(xex)
+    assert A.max_scaled_residual(x, b) < 1e-12
