@@ -127,6 +127,25 @@ def _factor_bucket_spd(F, s_pad):
     return L, L21, CB
 
 
+def _quantize(x, bits):
+    """Lossy factor storage (FrontLossy.cpp:46-90 ZFP analog): bf16 cast
+    (bits >= 16) or int8 with per-row f32 scales (bits <= 8)."""
+    if bits >= 16 or x.size == 0:
+        return x.astype(jnp.bfloat16)
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+    q = jnp.round(x / scale).astype(jnp.int8)
+    return (q, scale.astype(jnp.float32))
+
+
+def _dequantize(t, dtype):
+    if isinstance(t, tuple):       # int8 + per-row scales
+        return t[0].astype(dtype) * t[1].astype(dtype)
+    if t.dtype == jnp.bfloat16:
+        return t.astype(dtype)
+    return t
+
+
 def _ext_add_vec(v, cbv_flat, pos, voff):
     idx = voff[:, None] + pos
     mask = pos >= 0
@@ -139,12 +158,13 @@ def _ext_add_vec(v, cbv_flat, pos, voff):
 # whole-phase programs
 # ---------------------------------------------------------------------------
 
-def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False):
+def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
+                 hss_tol=1e-4):
     dtype = Avals.dtype
     vals_ext = jnp.concatenate(
         [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
     out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
-           "blr_ranks": {}}
+           "blr_ranks": {}, "hss": {}}
     cb_flat = jnp.zeros((0,), dtype=dtype)
     for li, level in enumerate(pdev.levels):
         cb_parts = []
@@ -168,12 +188,37 @@ def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False):
                     F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
                 out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
                 out["blr_ranks"][f"{li},{bi}"] = rk
+            elif bp.hss or bp.hodlr:
+                # HSS/HODLR front (FrontHSS / FrontHODLR roles): compress +
+                # factor F11 (ULV / SMW), explicit Schur S12 = F11^-1 F12,
+                # CB = F22 - F21 S12.
+                sH = bp.s_pad
+                F0 = F[0]
+                if bp.hss:
+                    from ..structured.hss import HSSMatrix
+                    H = HSSMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
+                                  max_rank=bp.hss_rank, rel_tol=hss_tol)
+                else:
+                    from ..structured.hodlr import HODLRMatrix
+                    H = HODLRMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
+                                    max_rank=bp.hss_rank, rel_tol=hss_tol)
+                H.factor()
+                F12 = F0[:sH, sH:]
+                F21 = F0[sH:, :sH]
+                S12 = H.solve(F12) if bp.u_pad else F12
+                CB = (F0[sH:, sH:] - jnp.matmul(
+                    F21, S12, preferred_element_type=dtype))[None]
+                out["hss"][f"{li},{bi}"] = (H, S12, F21)
             elif spd:
                 L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
                 out["lu"][f"{li},{bi}"] = L
                 out["L21"][f"{li},{bi}"] = L21
             else:
                 lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
+                if bp.lossy:
+                    lu = _quantize(lu, bp.lossy)
+                    L21 = _quantize(L21, bp.lossy)
+                    U12 = _quantize(U12, bp.lossy)
                 out["lu"][f"{li},{bi}"] = lu
                 out["perm"][f"{li},{bi}"] = perm
                 out["L21"][f"{li},{bi}"] = L21
@@ -213,6 +258,12 @@ def _solve_impl(pdev, arrays, fac_tree, b):
                 t = bp.tile
                 y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
                                           nts=bp.s_pad // t, nt=bp.p // t)
+            elif bp.hss or bp.hodlr:
+                H, S12, F21 = fac_tree["hss"][key]
+                sH = bp.s_pad
+                y = H.solve(bloc[0, :sH])[None]
+                cbv = bloc[:, sH:] - jnp.matmul(
+                    F21, y[0], preferred_element_type=dtype)[None]
             elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
                 s = bp.s_pad
                 L = fac_tree["lu"][key]
@@ -223,9 +274,9 @@ def _solve_impl(pdev, arrays, fac_tree, b):
                     L21, y, preferred_element_type=dtype)
             else:
                 s = bp.s_pad
-                lu = fac_tree["lu"][key]
+                lu = _dequantize(fac_tree["lu"][key], dtype)
                 perm = fac_tree["perm"][key]
-                L21 = fac_tree["L21"][key]
+                L21 = _dequantize(fac_tree["L21"][key], dtype)
                 bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
                 y = jax.lax.linalg.triangular_solve(
                     lu, bsep, left_side=True, lower=True, unit_diagonal=True)
@@ -249,6 +300,10 @@ def _solve_impl(pdev, arrays, fac_tree, b):
                 t = bp.tile
                 xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[key], xupd, t=t,
                                         nts=bp.s_pad // t, nt=bp.p // t)
+            elif bp.hss or bp.hodlr:
+                H, S12, F21 = fac_tree["hss"][key]
+                xsep = ys[key] - jnp.matmul(
+                    S12, xupd[0], preferred_element_type=dtype)[None]
             elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
                 L = fac_tree["lu"][key]
                 L21 = fac_tree["L21"][key]
@@ -259,8 +314,8 @@ def _solve_impl(pdev, arrays, fac_tree, b):
                     L, z, left_side=True, lower=True, transpose_a=True,
                     conjugate_a=True)
             else:
-                lu = fac_tree["lu"][key]
-                U12 = fac_tree["U12"][key]
+                lu = _dequantize(fac_tree["lu"][key], dtype)
+                U12 = _dequantize(fac_tree["U12"][key], dtype)
                 z = ys[key] - jnp.matmul(U12, xupd,
                                          preferred_element_type=dtype)
                 xsep = jax.lax.linalg.triangular_solve(
@@ -339,16 +394,16 @@ class Factors:
 
 
 def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
-              blr_tol=1e-4, spd=False) -> Factors:
+              blr_tol=1e-4, spd=False, hss_tol=1e-4) -> Factors:
     """Numeric factorization: one jitted program for the whole level loop
     (cached per plan + dtype)."""
     Avals = jnp.asarray(Avals, dtype=dtype)
     dtype = Avals.dtype
     rdt = jnp.real(jnp.zeros((), dtype)).dtype
-    key = ("factor", dtype.name, spd)
+    key = ("factor", dtype.name, spd, hss_tol)
     fn = pdev._jit_cache.get(key)
     if fn is None:
-        fn = jax.jit(partial(_factor_impl, pdev, spd=spd))
+        fn = jax.jit(partial(_factor_impl, pdev, spd=spd, hss_tol=hss_tol))
         pdev._jit_cache[key] = fn
     tree = fn(pdev.arrays, Avals,
               jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))

@@ -87,6 +87,11 @@ class BucketPlan:
     blr: bool = False
     tile: int = 0                # BLR tile size t
     max_rank: int = 0            # BLR fixed max rank r
+    lossy: int = 0               # 0 = off, 8 = int8, 16 = bf16 storage
+    hss: bool = False
+    hodlr: bool = False
+    hss_leaf: int = 0
+    hss_rank: int = 0
 
     @property
     def nf(self) -> int:
@@ -206,6 +211,19 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     bp.tile = choose_tile(sp, up, compression.blr.leaf_size)
                     bp.max_rank = max(4, min(compression.blr.max_rank,
                                              bp.tile // 2))
+                elif (compression.compression == CompressionType.LOSSY
+                        and sp >= compression.compression_min_sep_size):
+                    bp.lossy = getattr(compression, "lossy_precision", 16)
+                elif (compression.compression in (CompressionType.HSS,
+                                                  CompressionType.HODLR)
+                        and nfr == 1 and nf == 1
+                        and sp >= compression.compression_min_sep_size):
+                    if compression.compression == CompressionType.HSS:
+                        bp.hss = True
+                    else:
+                        bp.hodlr = True
+                    bp.hss_leaf = min(compression.hss.leaf_size, max(sp // 4, 16))
+                    bp.hss_rank = min(compression.hss.max_rank, bp.hss_leaf)
             batch_of[sel] = np.arange(nfr)
             for f in sel:
                 bucket_of[int(f)] = bp

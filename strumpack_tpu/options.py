@@ -113,6 +113,7 @@ class SPOptions:
     compression_min_sep_size: int = 256
     compression_min_front_size: int = 512
     compression_leaf_size: int = 128
+    lossy_precision: int = 16    # bits for LOSSY factor storage (8 or 16)
     blr: BLROptions = field(default_factory=BLROptions)
     hss: HSSOptions = field(default_factory=HSSOptions)
     # numeric dtypes (TPU-first: f32 factor + f64 refinement by default on
@@ -140,6 +141,7 @@ class SPOptions:
             "sp_compression_min_sep_size": "compression_min_sep_size",
             "sp_compression_min_front_size": "compression_min_front_size",
             "sp_compression_leaf_size": "compression_leaf_size",
+            "sp_lossy_precision": "lossy_precision",
             "blr_leaf_size": ("blr", "leaf_size"),
             "blr_max_rank": ("blr", "max_rank"),
             "hss_leaf_size": ("hss", "leaf_size"),

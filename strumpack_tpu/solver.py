@@ -197,12 +197,8 @@ class SparseSolver:
         self.fac = numeric.factorize(
             self.pdev, self.Ap.data, thresh=thresh,
             dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol,
-            spd=opts.positive_definite)
-        last = self.plan.n_levels - 1
-        root_fac = (self.fac.lu.get((last, 0))
-                    if (last, 0) in self.fac.lu
-                    else self.fac.blr[(last, 0)][0])
-        jax.block_until_ready(root_fac)
+            spd=opts.positive_definite, hss_tol=opts.hss.rel_tol)
+        jax.block_until_ready(jax.tree_util.tree_leaves(self.fac.tree)[-1])
         self._factored = True
         self.times["factor"] = time.perf_counter() - t0
         if opts.verbose:

@@ -53,7 +53,7 @@ class HODLRMatrix:
             jnp.arange(nl), jnp.arange(nl)]
         # per level l (pairs at level l, child block m_l): off-diag factors
         self.P12, self.Q12, self.P21, self.Q21 = [], [], [], []
-        self.maxrank = 0
+        self.rank_arrays = []
         for lev in range(L - 1, -1, -1):
             half = 2 ** lev
             ml = mp // (2 * half)
@@ -77,8 +77,7 @@ class HODLRMatrix:
 
             P12, Q12, k1 = trunc(U12, S12, V12)
             P21, Q21, k2 = trunc(U21, S21, V21)
-            self.maxrank = max(self.maxrank, int(jnp.maximum(
-                k1.max(), k2.max())))
+            self.rank_arrays.append(jnp.maximum(k1.max(), k2.max()))
             self.P12.append(P12)
             self.Q12.append(Q12)
             self.P21.append(P21)
@@ -149,14 +148,14 @@ class HODLRMatrix:
                 Vt, Yp, preferred_element_type=dt)
             caplu, _, capperm = jax.lax.linalg.lu(cap)
             self._smw.append(dict(Y=Yp, Vt=Vt, caplu=caplu,
-                                  capperm=capperm, ml=ml, half=half))
+                                  capperm=capperm))
         self._factored = True
 
     def _apply_corr(self, li, x):
         s = self._smw[li]
-        half, ml = s["half"], s["ml"]
+        half = s["Y"].shape[0]
         k = x.shape[1]
-        xb = x.reshape(half, 2 * ml, k)
+        xb = x.reshape(half, s["Y"].shape[1], k)
         vtx = jnp.matmul(s["Vt"], xb, preferred_element_type=x.dtype)
         w = _lu_app(s["caplu"], s["capperm"], vtx)
         return (xb - jnp.matmul(s["Y"], w, preferred_element_type=x.dtype)
@@ -186,7 +185,9 @@ class HODLRMatrix:
         return int(tot)
 
     def max_rank(self) -> int:
-        return self.maxrank
+        import numpy as _np
+        return int(max(_np.asarray(r) for r in self.rank_arrays)) \
+            if self.rank_arrays else 0
 
 
 def _lu_app(lu, perm, b):
@@ -194,3 +195,29 @@ def _lu_app(lu, perm, b):
     y = jax.lax.linalg.triangular_solve(lu, bp, left_side=True, lower=True,
                                         unit_diagonal=True)
     return jax.lax.linalg.triangular_solve(lu, y, left_side=True, lower=False)
+
+
+def _hodlr_flatten(h: "HODLRMatrix"):
+    dyn_keys = [k for k, v in sorted(h.__dict__.items())
+                if k not in _HODLR_STATIC]
+    children = tuple(h.__dict__[k] for k in dyn_keys)
+    aux = (tuple(dyn_keys),
+           tuple((k, h.__dict__.get(k)) for k in _HODLR_STATIC))
+    return children, aux
+
+
+def _hodlr_unflatten(aux, children):
+    h = HODLRMatrix.__new__(HODLRMatrix)
+    dyn_keys, static_items = aux
+    for k, v in static_items:
+        h.__dict__[k] = v
+    for k, v in zip(dyn_keys, children):
+        h.__dict__[k] = v
+    return h
+
+
+_HODLR_STATIC = ("m", "t", "mp", "L", "r", "rel_tol", "dtype",
+                 "_factored")
+
+jax.tree_util.register_pytree_node(HODLRMatrix, _hodlr_flatten,
+                                   _hodlr_unflatten)

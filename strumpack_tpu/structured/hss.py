@@ -305,6 +305,30 @@ class HSSMatrix:
         return int(max(np.asarray(rU).max(), np.asarray(rV).max()))
 
 
+def _hss_flatten(h: "HSSMatrix"):
+    dyn_keys = [k for k, v in sorted(h.__dict__.items())
+                if k not in _HSS_STATIC]
+    children = tuple(h.__dict__[k] for k in dyn_keys)
+    aux = (tuple(dyn_keys),
+           tuple((k, h.__dict__.get(k)) for k in _HSS_STATIC))
+    return children, aux
+
+
+def _hss_unflatten(aux, children):
+    h = HSSMatrix.__new__(HSSMatrix)
+    dyn_keys, static_items = aux
+    for k, v in static_items:
+        h.__dict__[k] = v
+    for k, v in zip(dyn_keys, children):
+        h.__dict__[k] = v
+    return h
+
+
+_HSS_STATIC = ("m", "t", "mp", "L", "r", "rel_tol", "dtype", "_factored")
+
+jax.tree_util.register_pytree_node(HSSMatrix, _hss_flatten, _hss_unflatten)
+
+
 def _lu_solve(lu, piv_perm, b):
     """Batched LU solve given packed lu and applied permutation."""
     bp = jnp.take_along_axis(b, piv_perm[..., None], axis=-2)

@@ -261,3 +261,59 @@ def test_spd_mixed_precision():
     s, x, xex = check_solve(A, opts, nx=20, ny=20)
     b = A.spmv(xex)
     assert A.max_scaled_residual(x, b) < 1e-12
+
+
+def test_lossy_factor_compression():
+    """FrontLossy analog: quantized factor storage + IR recovery."""
+    from strumpack_tpu import CompressionType
+    A = poisson2d(30)
+    for bits in (16, 8):
+        opts = SPOptions(compression=CompressionType.LOSSY,
+                         compression_min_sep_size=16, lossy_precision=bits,
+                         rel_tol=1e-8)
+        s, x, xex = check_solve(A, opts, nx=30, ny=30)
+        assert s.Krylov_iterations() >= 1
+
+
+def test_hss_fronts():
+    """HSS-compressed root fronts (FrontHSS role) + GMRES refinement —
+    BASELINE config 3 analog (small)."""
+    from strumpack_tpu import CompressionType
+    A = poisson2d(40)
+    opts = SPOptions(compression=CompressionType.HSS,
+                     compression_min_sep_size=32, rel_tol=1e-6)
+    opts.hss.rel_tol = 1e-6
+    opts.hss.leaf_size = 16
+    opts.hss.max_rank = 16
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(40, 40)
+    nhss = sum(1 for lvl in s.plan.levels for bp in lvl if bp.hss)
+    assert nhss > 0, "no HSS buckets selected"
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+    assert s.Krylov_iterations() < 30
+
+
+def test_hodlr_fronts():
+    """HODLR-compressed root fronts (FrontHODLR role)."""
+    from strumpack_tpu import CompressionType
+    A = poisson2d(40)
+    opts = SPOptions(compression=CompressionType.HODLR,
+                     compression_min_sep_size=32, rel_tol=1e-6)
+    opts.hss.rel_tol = 1e-6
+    opts.hss.leaf_size = 16
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(40, 40)
+    assert sum(1 for lvl in s.plan.levels for bp in lvl if bp.hodlr) > 0
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
