@@ -84,6 +84,47 @@ def construct_from_dense(A, opts: StructuredOptions | None = None,
     raise ValueError(t)
 
 
+def construct_partially_matrix_free(mult, elem, n,
+                                    opts: StructuredOptions | None = None,
+                                    **kw) -> StructuredMatrix:
+    """HSS from a matvec closure + element function via randomized
+    sampling (StructuredMatrix.hpp construct_partially_matrix_free)."""
+    opts = opts or StructuredOptions(**kw)
+    assert opts.type == Type.HSS, "matrix-free construction is HSS-only"
+    from .hss_sample import hss_from_sampling
+    import jax.numpy as jnp
+    w = _HSSWrap.__new__(_HSSWrap)
+    w.rows = w.cols = n
+    w.h = hss_from_sampling(
+        mult, elem, n, leaf_size=opts.leaf_size,
+        max_rank=opts.max_rank or max(16, opts.leaf_size // 2),
+        rel_tol=opts.rel_tol, dtype=jnp.float64)
+    return w
+
+
+def construct_matrix_free(mult, n, opts=None, **kw) -> StructuredMatrix:
+    """HSS from a matvec closure only: element extraction is emulated by
+    additional matvecs against unit-vector blocks (exact, O(n/leaf) extra
+    products) — StructuredMatrix.hpp construct_matrix_free."""
+    import jax.numpy as jnp
+    import numpy as _np
+
+    def elem(I, J):
+        I = _np.asarray(I)
+        J = _np.asarray(J)
+        cols = _np.unique(J.ravel())
+        E = _np.zeros((n, len(cols)))
+        E[cols, _np.arange(len(cols))] = 1.0
+        AE = _np.asarray(mult(jnp.asarray(E), False))   # [n, ncols]
+        colpos = _np.searchsorted(cols, J)
+        out = AE[_np.broadcast_to(I, _np.broadcast_shapes(I.shape, J.shape)),
+                 _np.broadcast_to(colpos,
+                                  _np.broadcast_shapes(I.shape, J.shape))]
+        return jnp.asarray(out)
+
+    return construct_partially_matrix_free(mult, elem, n, opts, **kw)
+
+
 def construct_from_elements(elem, rows, cols,
                             opts: StructuredOptions | None = None,
                             **kw) -> StructuredMatrix:

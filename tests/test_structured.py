@@ -104,3 +104,46 @@ def test_gauss_kernel_fit_predict_regression():
     Xt = np.linspace(-1.5, 1.5, 50)[:, None]
     pred = k.predict(Xt)
     assert np.max(np.abs(pred - np.sin(2 * Xt[:, 0]))) < 0.1
+
+
+def test_hss_sampling_construction():
+    """Randomized-sampling HSS (compress_stable role) with Gaussian and
+    SJLT sketches, from matvec + element callbacks."""
+    import jax.numpy as jnp
+    from strumpack_tpu.structured.hss_sample import hss_from_sampling
+    rng = np.random.default_rng(0)
+    m = 300
+    A = cauchyish(m)
+    Aj = jnp.asarray(A)
+    mult = lambda X, trans: (Aj.T.conj() @ X if trans else Aj @ X)
+    elem = lambda I, J: Aj[I, J]
+    for sketch in ("gaussian", "sjlt"):
+        H = hss_from_sampling(mult, elem, m, leaf_size=32, max_rank=24,
+                              oversample=24, rel_tol=1e-9,
+                              dtype=jnp.float64, sketch=sketch)
+        v = rng.standard_normal(m)
+        rel = (np.linalg.norm(np.asarray(H.matvec(v)) - A @ v)
+               / np.linalg.norm(A @ v))
+        assert rel < 1e-6, rel
+        xs = np.asarray(H.solve(A @ v))
+        assert np.linalg.norm(xs - v) / np.linalg.norm(v) < 1e-6
+
+
+def test_construct_matrix_free():
+    import jax.numpy as jnp
+    from strumpack_tpu.structured.structured import (construct_matrix_free,
+                                                     StructuredOptions, Type)
+    m = 200
+    A = cauchyish(m, seed=9)
+    Aj = jnp.asarray(A)
+    mult = lambda X, trans: (Aj.T @ X if trans else Aj @ X)
+    S = construct_matrix_free(mult, m,
+                              StructuredOptions(type=Type.HSS, rel_tol=1e-8,
+                                                leaf_size=32, max_rank=24))
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(m)
+    rel = np.linalg.norm(np.asarray(S.mult(v)) - A @ v) / np.linalg.norm(A @ v)
+    assert rel < 1e-5, rel
+    S.factor()
+    xs = np.asarray(S.solve(A @ v))
+    assert np.linalg.norm(xs - v) / np.linalg.norm(v) < 1e-5
