@@ -394,25 +394,27 @@ class Factors:
 
 
 def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
-              blr_tol=1e-4, spd=False, hss_tol=1e-4) -> Factors:
+              blr_tol=1e-4, spd=False, hss_tol=1e-4,
+              matmul_precision="float32") -> Factors:
     """Numeric factorization: one jitted program for the whole level loop
     (cached per plan + dtype)."""
     Avals = jnp.asarray(Avals, dtype=dtype)
     dtype = Avals.dtype
     rdt = jnp.real(jnp.zeros((), dtype)).dtype
-    key = ("factor", dtype.name, spd, hss_tol)
+    key = ("factor", dtype.name, spd, hss_tol, matmul_precision)
     fn = pdev._jit_cache.get(key)
     if fn is None:
         fn = jax.jit(partial(_factor_impl, pdev, spd=spd, hss_tol=hss_tol))
         pdev._jit_cache[key] = fn
-    tree = fn(pdev.arrays, Avals,
-              jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))
+    with jax.default_matmul_precision(matmul_precision):
+        tree = fn(pdev.arrays, Avals,
+                  jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))
     fac = Factors(pdev, dtype, tree)
     fac.spd = spd
     return fac
 
 
-def solve(fac: Factors, b) -> jnp.ndarray:
+def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
     """Multifrontal solve; b is [n] or [n, nrhs] in the permuted+scaled
     ordering (the driver handles transforms).  One jitted program."""
     pdev = fac.pdev
@@ -421,10 +423,11 @@ def solve(fac: Factors, b) -> jnp.ndarray:
     if squeeze:
         b = b[:, None]
     spd = getattr(fac, "spd", False)
-    key = ("solve", fac.dtype.name, b.shape[1], spd)
+    key = ("solve", fac.dtype.name, b.shape[1], spd, matmul_precision)
     fn = pdev._jit_cache.get(key)
     if fn is None:
         fn = jax.jit(partial(_solve_impl, pdev))
         pdev._jit_cache[key] = fn
-    x = fn(pdev.arrays, fac.tree, b)
+    with jax.default_matmul_precision(matmul_precision):
+        x = fn(pdev.arrays, fac.tree, b)
     return x[:, 0] if squeeze else x

@@ -120,6 +120,9 @@ class SPOptions:
     # TPU; tests on CPU may use f64 factor directly)
     factor_dtype: str = "float64"
     refine_dtype: str = "float64"
+    # TPU matmul precision inside the f32 factor/solve: "float32" (full,
+    # 3-pass bf16) or "bfloat16" (fast preconditioner mode, more IR its)
+    matmul_precision: str = "float32"
 
     def set_from_command_line(self, argv) -> list:
         """Parse --sp_/--blr_/--hss_ flags; returns unrecognized args."""

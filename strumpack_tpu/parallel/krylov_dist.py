@@ -1,0 +1,77 @@
+"""Mesh-sharded outer iterations.
+
+Role of the reference's distributed sparse pieces: block-row distributed
+CSR spmv with halo exchange (``CSRMatrixMPI.{hpp,cpp}`` spmv buffers
+:239-240) and the MPI Krylov variants (``IterativeRefinementMPI.cpp``,
+allreduce dot products).  TPU-native mapping:
+
+* Krylov vectors are sharded over the mesh's ``b`` axis (block-row
+  distribution); the padded-ELL spmv shards over its row axis, with XLA
+  inserting the gather of remote x entries (the halo exchange role) —
+  collectives ride ICI;
+* dot products / norms over sharded vectors lower to psum (the allreduce
+  role);
+* the preconditioner (whole multifrontal solve) gathers the residual to
+  replicated, runs the level-batched solve (itself bucket-sharded when
+  executed under the same mesh), and re-shards the correction.
+
+The entire refinement loop is one jitted program over the mesh.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..frontal import numeric
+from ..ops.spmv import spmv_ell
+
+
+def make_sharded_ir(pdev, mesh: Mesh, rtol, atol, maxit):
+    """Jitted (fac_tree, vals, cols, b) -> (x, it, relres) with block-row
+    sharding over mesh axis 'b'."""
+    rowshard = NamedSharding(mesh, P(*( ("b",) + (None,) * 1)))
+    repl = NamedSharding(mesh, P())
+
+    def run(fac_tree, vals, cols, b):
+        rdt = b.dtype
+        vals = jax.lax.with_sharding_constraint(vals, rowshard)
+        cols = jax.lax.with_sharding_constraint(cols, rowshard)
+        b = jax.lax.with_sharding_constraint(b, NamedSharding(mesh, P("b")))
+        bnorm = jnp.linalg.norm(b)   # psum-lowered reduction
+        tol = jnp.maximum(rtol * bnorm, atol)
+
+        def prec(r):
+            rfull = jax.lax.with_sharding_constraint(r, repl)
+            rl = rfull.astype(_fdt(fac_tree))
+            x = numeric._solve_impl(pdev, pdev.arrays, fac_tree,
+                                    rl[:, None])[:, 0]
+            return jax.lax.with_sharding_constraint(
+                x.astype(rdt), NamedSharding(mesh, P("b")))
+
+        def cond(st):
+            x, r, rn, it = st
+            return (it < maxit) & (rn > tol)
+
+        def body(st):
+            x, r, rn, it = st
+            x = x + prec(r)
+            r = b - spmv_ell(vals, cols, x)
+            r = jax.lax.with_sharding_constraint(
+                r, NamedSharding(mesh, P("b")))
+            return x, r, jnp.linalg.norm(r), it + 1
+
+        x, r, rn, it = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros_like(b), b, bnorm, jnp.zeros((), jnp.int32)))
+        return x, it, rn / jnp.maximum(bnorm, jnp.finfo(rdt).tiny)
+
+    return jax.jit(run)
+
+
+def _fdt(fac_tree):
+    for v in fac_tree["lu"].values():
+        return v.dtype
+    for v in fac_tree["blr"].values():
+        return v[0].dtype
+    raise ValueError("empty factor tree")

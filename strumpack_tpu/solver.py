@@ -197,7 +197,8 @@ class SparseSolver:
         self.fac = numeric.factorize(
             self.pdev, self.Ap.data, thresh=thresh,
             dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol,
-            spd=opts.positive_definite, hss_tol=opts.hss.rel_tol)
+            spd=opts.positive_definite, hss_tol=opts.hss.rel_tol,
+            matmul_precision=opts.matmul_precision)
         jax.block_until_ready(jax.tree_util.tree_leaves(self.fac.tree)[-1])
         self._factored = True
         self.times["factor"] = time.perf_counter() - t0
@@ -233,7 +234,8 @@ class SparseSolver:
         from .frontal import numeric
         import jax.numpy as jnp
         fd = np.dtype(self.opts.factor_dtype)
-        return numeric.solve(self.fac, jnp.asarray(bp, dtype=fd))
+        return numeric.solve(self.fac, jnp.asarray(bp, dtype=fd),
+                             matmul_precision=self.opts.matmul_precision)
 
     def solve(self, b, x0=None):
         """Solve A x = b; returns (x, ReturnCode)."""
@@ -273,15 +275,18 @@ class SparseSolver:
                     # production path: whole IR loop on device
                     from .krylov.device_loop import make_device_ir
                     key = ("ir", rd.name, opts.rel_tol, opts.abs_tol,
-                           opts.maxit)
+                           opts.maxit, opts.matmul_precision)
                     fn = self.pdev._jit_cache.get(key)
                     if fn is None:
                         fn = make_device_ir(self.pdev, self.ell,
                                             opts.rel_tol, opts.abs_tol,
                                             opts.maxit)
                         self.pdev._jit_cache[key] = fn
-                    x, it, rel = fn(self.fac.tree, self.ell.vals,
-                                    self.ell.cols, bdev)
+                    import jax
+                    with jax.default_matmul_precision(
+                            opts.matmul_precision):
+                        x, it, rel = fn(self.fac.tree, self.ell.vals,
+                                        self.ell.cols, bdev)
                     return x, int(it), float(rel)
                 if solver == KrylovSolver.REFINE:
                     return K.iterative_refinement(

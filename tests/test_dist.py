@@ -1,0 +1,88 @@
+"""Multi-device (virtual 8-CPU mesh) tests.
+
+Model: the reference's MPI tests run oversubscribed on one host
+(test/CMakeLists.txt:37-40); here jax virtual devices + mesh sharding.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from strumpack_tpu.sparse.gen import poisson2d
+from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+from strumpack_tpu.sparse.symbolic import symbolic_factorization
+from strumpack_tpu.frontal.plan import build_plan
+from strumpack_tpu.frontal import numeric
+
+
+def _problem(nx=20, leaf=4):
+    A = poisson2d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, leaf=leaf)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    plan = build_plan(Ap, tree, upd)
+    return A, Ap, perm, numeric.PlanDev(plan)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_factor_solve_batch_mesh():
+    from strumpack_tpu.parallel.dist import make_sharded_factor_solve
+    A, Ap, perm, pdev = _problem()
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    fn = make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64)
+    b = Ap.spmv(np.ones(Ap.n))
+    x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-12, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_factor_solve_3axis_mesh_2d_root():
+    from strumpack_tpu.parallel.dist import make_sharded_factor_solve
+    A, Ap, perm, pdev = _problem(nx=24, leaf=4)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("b", "r", "c"))
+    fn = make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64)
+    b = Ap.spmv(np.ones(Ap.n))
+    x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-12, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_blocked_lu_2d():
+    from strumpack_tpu.parallel.dist2d import (sharded_blocked_lu,
+                                               sharded_lu_solve)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("r", "c"))
+    rng = np.random.default_rng(0)
+    m, blk = 512, 64
+    A = rng.standard_normal((m, m)) + m * np.eye(m)
+    with mesh:
+        LU, perms = jax.jit(lambda A: sharded_blocked_lu(
+            jnp.asarray(A), mesh, blk, 0.0))(A)
+        b = A @ np.ones(m)
+        x = jax.jit(lambda LU, p, b: sharded_lu_solve(
+            LU, p, jnp.asarray(b), mesh, blk))(LU, perms, b)
+    assert np.linalg.norm(np.asarray(x) - 1.0) < 1e-8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_iterative_refinement():
+    """Block-row sharded spmv + psum reductions + sharded IR loop
+    (CSRMatrixMPI + IterativeRefinementMPI analog)."""
+    from strumpack_tpu.parallel.krylov_dist import make_sharded_ir
+    from strumpack_tpu.ops.spmv import DeviceELL
+    A, Ap, perm, pdev = _problem(nx=16, leaf=4)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    ell = DeviceELL(Ap, dtype=np.float64)
+    fac = numeric.factorize(pdev, Ap.data.astype(np.float32))
+    fn = make_sharded_ir(pdev, mesh, rtol=1e-12, atol=1e-14, maxit=20)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(Ap.n)
+    b = Ap.spmv(xex)
+    with mesh:
+        x, it, rel = fn(fac.tree, ell.vals, ell.cols, jnp.asarray(b))
+    x = np.asarray(x)
+    assert np.linalg.norm(x - xex) / np.linalg.norm(xex) < 1e-10
+    assert int(it) > 1  # f32 factor needs refinement steps in f64

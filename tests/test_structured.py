@@ -147,3 +147,45 @@ def test_construct_matrix_free():
     S.factor()
     xs = np.asarray(S.solve(A @ v))
     assert np.linalg.norm(xs - v) / np.linalg.norm(v) < 1e-5
+
+
+def test_clustering_methods():
+    """binary_tree_clustering dispatch (clustering/Clustering.hpp:51)."""
+    from strumpack_tpu.kernel.clustering import binary_tree_clustering
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((500, 3))
+    for method in ("natural", "kd", "2means", "pca", "cobble"):
+        order = binary_tree_clustering(method, X, leaf=32)
+        assert sorted(order.tolist()) == list(range(500)), method
+
+
+def test_approximate_knn():
+    """Randomized-projection-tree ANN (NeighborSearch role)."""
+    from strumpack_tpu.kernel.clustering import approximate_knn
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((300, 2))
+    nbr, dist = approximate_knn(X, k=5, n_trees=6)
+    # recall vs exact neighbors
+    hits = tot = 0
+    for i in range(0, 300, 10):
+        d = ((X - X[i]) ** 2).sum(1)
+        d[i] = np.inf
+        exact = set(np.argsort(d)[:5].tolist())
+        hits += len(exact & set(nbr[i].tolist()))
+        tot += 5
+    assert hits / tot > 0.7, hits / tot
+
+
+def test_aca_baca():
+    """ACA / BACA cross approximation (dense/ACA.cpp, BACA.cpp roles)."""
+    import jax.numpy as jnp
+    from strumpack_tpu.ops.aca import aca, baca
+    rng = np.random.default_rng(0)
+    m = 64
+    G = rng.standard_normal((2, m, 6)) @ rng.standard_normal((2, 6, m))
+    T = jnp.asarray(G)
+    for fn in (aca, baca):
+        U, V, ranks = fn(T, jnp.asarray(1e-10), 16)
+        err = np.linalg.norm(np.asarray(U @ V) - G) / np.linalg.norm(G)
+        assert err < 1e-8, (fn.__name__, err)
+        assert int(np.asarray(ranks).max()) <= 8, fn.__name__
