@@ -385,11 +385,25 @@ class Factors:
                 m = max(m, float(jnp.max(jnp.abs(lu))))
         return m / max(amax, 1e-300)
 
-    def factor_memory(self) -> int:
-        """Bytes held by the numeric factors."""
+    def factor_memory(self, effective: bool = True) -> int:
+        """Bytes held by the numeric factors.  With ``effective`` the BLR
+        buckets are counted at their actual (masked) tile ranks — the
+        reference's compressed factor-memory statistic
+        (SparseSolverBase.cpp:618-620)."""
+        itemsize = jnp.dtype(self.dtype).itemsize if self.dtype else 4
         total = 0
-        for leaf in jax.tree_util.tree_leaves(self.tree):
-            total += leaf.size * leaf.dtype.itemsize
+        for k, v in self.tree.items():
+            if k == "blr" and effective:
+                continue
+            for leaf in jax.tree_util.tree_leaves(v):
+                total += leaf.size * leaf.dtype.itemsize
+        if effective:
+            for key, entry in self.tree["blr"].items():
+                lud, perms, Uu, Vu, Ul, Vl = entry
+                total += (lud.size + perms.size) * itemsize
+                rk = np.asarray(self.tree["blr_ranks"][key])
+                t = Uu.shape[-2]
+                total += int(2 * t * rk.sum()) * itemsize
         return total
 
 

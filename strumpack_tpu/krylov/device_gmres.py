@@ -1,0 +1,125 @@
+"""Fully-on-device restarted GMRES (jitted, preconditioner traced inline).
+
+Role of GMRes.cpp:43-160 (left-preconditioned restarted GMRES with
+modified Gram-Schmidt and Givens rotations) for the TPU production path:
+the host-loop version in solvers.py pays ~50-100 ms tunnel latency per
+iteration; here the entire restart cycle machinery runs as one
+lax.while_loop over cycles with a fixed-size Krylov basis.
+
+All shapes are static: the basis V is [restart+1, n]; iterations past
+convergence inside a cycle are frozen with masks (the TPU-first analog of
+the data-dependent inner break).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..frontal import numeric
+from ..ops.spmv import spmv_ell
+
+
+def make_device_gmres(pdev, rtol, atol, maxit, restart):
+    m = int(restart)
+
+    def run(fac_tree, vals, cols, b):
+        rdt = b.dtype
+        n = b.shape[0]
+
+        def prec(r):
+            fdt = _fdt(fac_tree)
+            x = numeric._solve_impl(pdev, pdev.arrays, fac_tree,
+                                    r.astype(fdt)[:, None])
+            return x[:, 0].astype(rdt)
+
+        Mb = prec(b)
+        rho0 = jnp.linalg.norm(Mb)
+        tol = jnp.maximum(rtol * rho0, atol)
+
+        def cycle(carry):
+            x, total_it, rho = carry
+            r = prec(b - spmv_ell(vals, cols, x))
+            beta = jnp.linalg.norm(r)
+            safe_beta = jnp.maximum(beta, jnp.finfo(rdt).tiny)
+            V = jnp.zeros((m + 1, n), rdt).at[0].set(r / safe_beta)
+            H = jnp.zeros((m + 1, m), rdt)
+            cs = jnp.ones((m,), rdt)
+            sn = jnp.zeros((m,), rdt)
+            g = jnp.zeros((m + 1,), rdt).at[0].set(beta)
+            live0 = beta > tol
+
+            def inner(k, st):
+                V, H, cs, sn, g, live, kdone = st
+                w = prec(spmv_ell(vals, cols, V[k]))
+                # modified Gram-Schmidt against rows 0..k (masked)
+                mask = (jnp.arange(m + 1) <= k)
+                hs = (V.conj() @ w) * mask           # [m+1]
+                w = w - hs @ V
+                hs2 = (V.conj() @ w) * mask          # reorthogonalize
+                w = w - hs2 @ V
+                hs = hs + hs2
+                hnext = jnp.linalg.norm(w)
+                hcol = hs.at[k + 1].set(hnext)
+                # apply previous rotations j < k
+                def rot(j, hc):
+                    t = cs[j] * hc[j] + sn[j] * hc[j + 1]
+                    hc = hc.at[j + 1].set(-sn[j] * hc[j] + cs[j] * hc[j + 1])
+                    return hc.at[j].set(t)
+                hcol = jax.lax.fori_loop(0, k, rot, hcol)
+                denom = jnp.sqrt(hcol[k] ** 2 + hnext ** 2)
+                safe_d = jnp.maximum(denom, jnp.finfo(rdt).tiny)
+                ck = jnp.where(denom > 0, jnp.abs(hcol[k]) / safe_d, 1.0)
+                sgn = jnp.where(hcol[k] != 0, jnp.sign(hcol[k]), 1.0)
+                sk = jnp.where(denom > 0, sgn * hnext / safe_d, 0.0)
+                gk1 = -sk * g[k]
+                gk = ck * g[k]
+                hkk = ck * hcol[k] + sk * hnext
+                # freeze updates once converged/broken down
+                H = jnp.where(live, H.at[:, k].set(
+                    hcol.at[k].set(hkk).at[k + 1].set(0.0)), H)
+                V = jnp.where(live,
+                              V.at[k + 1].set(
+                                  w / jnp.maximum(hnext,
+                                                  jnp.finfo(rdt).tiny)), V)
+                g = jnp.where(live, g.at[k].set(gk).at[k + 1].set(gk1), g)
+                cs = jnp.where(live, cs.at[k].set(ck), cs)
+                sn = jnp.where(live, sn.at[k].set(sk), sn)
+                newlive = live & (jnp.abs(gk1) > tol) & (hnext > 0)
+                kdone = jnp.where(live, k + 1, kdone)
+                return V, H, cs, sn, g, newlive, kdone
+
+            V, H, cs, sn, g, live, kdone = jax.lax.fori_loop(
+                0, m, inner, (V, H, cs, sn, g, live0,
+                              jnp.zeros((), jnp.int32)))
+            # back-substitution on the kdone x kdone triangle: pad the
+            # unused trailing block with the identity and zero rhs
+            idx = jnp.arange(m)
+            used = idx < kdone
+            Hm = H[:m, :m]
+            Hm = jnp.where(used[:, None] & used[None, :], Hm,
+                           jnp.eye(m, dtype=rdt) * 1.0)
+            gm = jnp.where(used, g[:m], 0.0)
+            y = jax.scipy.linalg.solve_triangular(Hm, gm, lower=False)
+            x = x + y @ V[:m]
+            rho = jnp.abs(g[kdone])
+            return x, total_it + kdone, rho
+
+        def cond(carry):
+            x, it, rho = carry
+            return (rho > tol) & (it < maxit)
+
+        x, it, rho = jax.lax.while_loop(
+            cond, cycle, (jnp.zeros_like(b), jnp.zeros((), jnp.int32), rho0))
+        return x, it, rho / jnp.maximum(rho0, jnp.finfo(rdt).tiny)
+
+    return jax.jit(run)
+
+
+def _fdt(fac_tree):
+    for v in fac_tree["lu"].values():
+        return v.dtype
+    for v in fac_tree["blr"].values():
+        return v[0].dtype
+    for v in fac_tree["hss"].values():
+        return v[1].dtype
+    raise ValueError("empty factor tree")

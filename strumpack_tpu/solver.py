@@ -204,8 +204,18 @@ class SparseSolver:
         self.times["factor"] = time.perf_counter() - t0
         if opts.verbose:
             gfs = self.plan.factor_flops / max(self.times["factor"], 1e-12) / 1e9
+            fmem = self.fac.factor_memory()
+            dense_mem = self.plan.factor_nnz * np.dtype(
+                opts.factor_dtype).itemsize
             print(f"#   - factor time = {self.times['factor']:.4f}")
             print(f"#   - factor nonzeros = {self.plan.factor_nnz}")
+            print(f"#   - factor memory = {fmem/1e6:.3f} MB")
+            if opts.compression != CompressionType.NONE and dense_mem:
+                print(f"#   - factor memory/nonzeros = "
+                      f"{100.0*fmem/dense_mem:.1f} %")
+                mr = self.fac.max_rank()
+                if mr:
+                    print(f"#   - maximum rank = {mr}")
             print(f"#   - factor flops = {self.plan.factor_flops:.4g}, "
                   f"rate = {gfs:.2f} GFlop/s")
         return ReturnCode.SUCCESS
@@ -293,6 +303,25 @@ class SparseSolver:
                         spmv, prec, bdev, x0dev, rtol=opts.rel_tol,
                         atol=opts.abs_tol, maxit=opts.maxit,
                         verbose=opts.verbose)
+                if (solver == KrylovSolver.PREC_GMRES and x0col is None
+                        and not opts.verbose
+                        and not np.issubdtype(rd, np.complexfloating)):
+                    from .krylov.device_gmres import make_device_gmres
+                    key = ("gmres", rd.name, opts.rel_tol, opts.abs_tol,
+                           opts.maxit, opts.gmres_restart,
+                           opts.matmul_precision)
+                    fn = self.pdev._jit_cache.get(key)
+                    if fn is None:
+                        fn = make_device_gmres(self.pdev, opts.rel_tol,
+                                               opts.abs_tol, opts.maxit,
+                                               opts.gmres_restart)
+                        self.pdev._jit_cache[key] = fn
+                    import jax
+                    with jax.default_matmul_precision(
+                            opts.matmul_precision):
+                        x, it, rel = fn(self.fac.tree, self.ell.vals,
+                                        self.ell.cols, bdev)
+                    return x, int(it), float(rel)
                 if solver in (KrylovSolver.PREC_GMRES, KrylovSolver.GMRES):
                     p = prec if solver == KrylovSolver.PREC_GMRES else None
                     return K.gmres(
