@@ -37,14 +37,20 @@ def choose_tile(s_pad: int, u_pad: int, leaf: int) -> int:
     return max(s_pad, 1)
 
 
-@partial(jax.jit, static_argnames=("r",))
-def _compress_tiles(T, tol, r):
-    """Batched truncated SVD of tiles T [..., t, t] at relative tolerance.
+@partial(jax.jit, static_argnames=("r", "algo"))
+def _compress_tiles(T, tol, r, algo="aca"):
+    """Batched low-rank tile compression at relative tolerance.
 
     Returns (U [..., t, r], V [..., r, t], ranks [...]) with columns beyond
-    the numerical rank zero-masked.  Tolerance is relative to the largest
-    singular value of each tile (BLROptions rel_tol semantics).
+    the numerical rank zero-masked (BLROptions rel_tol semantics).
+    algo: "aca" (default — full-pivoted cross approximation, compiles to a
+    small fori_loop program, BLROptions LowRankAlgorithm::ACA role) or
+    "svd" (truncated SVD, tightest ranks but heavy to compile on TPU,
+    the geqp3tol/RRQR role).
     """
+    if algo == "aca":
+        from ..ops.aca import aca
+        return aca(T, tol, r)
     Uf, S, Vh = jnp.linalg.svd(T, full_matrices=False)
     s0 = S[..., :1]
     keep = S > tol * jnp.maximum(s0, jnp.finfo(T.dtype).tiny)

@@ -16,49 +16,52 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("r",))
 def aca(T, tol, r):
-    """Batched partial-pivoted ACA of dense tiles T [..., m, n].
+    """Batched full-pivoted ACA of dense tiles T [..., m, n].
 
     Returns (U [..., m, r], V [..., r, n], ranks [...]) with columns/rows
     beyond the detected rank zeroed; stops contributing when the pivot
-    magnitude falls below tol * (first pivot).
+    magnitude falls below tol * (first pivot).  The rank loop is a
+    lax.fori_loop so the compiled program stays small regardless of r
+    (unlike an unrolled loop or a batched SVD).
     """
     m, n = T.shape[-2], T.shape[-1]
     batch = T.shape[:-2]
     dt = T.dtype
-    R = T
-    U = jnp.zeros(batch + (m, r), dt)
-    V = jnp.zeros(batch + (r, n), dt)
-    first_piv = None
-    pivs = []
-    for k in range(r):
-        # full pivot search on the residual (reference ACA uses partial
-        # pivoting; full pivoting is cheap here and batches cleanly)
-        absR = jnp.abs(R)
-        i = jnp.argmax(absR.reshape(batch + (m * n,)), axis=-1)
+    N = int(np.prod(batch)) if batch else 1
+    Tf = T.reshape(N, m, n)
+
+    def body(k, st):
+        R, U, V, pv = st
+        absR = jnp.abs(R).reshape(N, m * n)
+        i = jnp.argmax(absR, axis=-1)
         pi, pj = i // n, i % n
-        piv = jnp.take_along_axis(
-            R.reshape(batch + (m * n,)), i[..., None], -1)[..., 0]
-        pivs.append(jnp.abs(piv))
-        if first_piv is None:
-            first_piv = jnp.abs(piv)
+        piv = jnp.take_along_axis(R.reshape(N, m * n), i[:, None], -1)[:, 0]
         safe_piv = jnp.where(jnp.abs(piv) > 0, piv, 1.0)
-        col = jnp.take_along_axis(R, pj[..., None, None], -1)[..., 0]  # [m]
-        row = jnp.take_along_axis(R, pi[..., None, None], -2)[..., 0, :]
-        u = col / safe_piv[..., None]
-        R = R - u[..., :, None] * row[..., None, :]
-        U = U.at[..., :, k].set(u)
-        V = V.at[..., k, :].set(row)
-    pv = jnp.stack(pivs, axis=-1)                       # [..., r]
+        col = jnp.take_along_axis(R, pj[:, None, None], -1)[..., 0]
+        row = jnp.take_along_axis(R, pi[:, None, None], -2)[:, 0, :]
+        u = col / safe_piv[:, None]
+        R = R - u[:, :, None] * row[:, None, :]
+        U = U.at[:, :, k].set(u)
+        V = V.at[:, k, :].set(row)
+        pv = pv.at[:, k].set(jnp.abs(piv))
+        return R, U, V, pv
+
+    U0 = jnp.zeros((N, m, r), dt)
+    V0 = jnp.zeros((N, r, n), dt)
+    pv0 = jnp.zeros((N, r), jnp.real(jnp.zeros((), dt)).dtype)
+    _, U, V, pv = jax.lax.fori_loop(0, r, body, (Tf, U0, V0, pv0))
     ranks = (pv > tol * jnp.maximum(
-        first_piv, jnp.finfo(dt).tiny)[..., None]).sum(axis=-1)
-    mask = jnp.arange(r) < ranks[..., None]
-    U = jnp.where(mask[..., None, :], U, 0.0)
-    V = jnp.where(mask[..., :, None], V, 0.0)
-    return U, V, ranks
+        pv[:, 0], jnp.finfo(dt).tiny)[:, None]).sum(axis=-1)
+    mask = jnp.arange(r)[None] < ranks[:, None]
+    U = jnp.where(mask[:, None, :], U, 0.0)
+    V = jnp.where(mask[:, :, None], V, 0.0)
+    return (U.reshape(batch + (m, r)), V.reshape(batch + (r, n)),
+            ranks.reshape(batch))
 
 
 @partial(jax.jit, static_argnames=("r", "b"))

@@ -41,22 +41,26 @@ def _id_rows(F, tol, r):
     F [N, k, d]  ->  X [N, k, r], Jloc [N, r], ranks [N]
     such that F ~= X @ F[Jloc, :] (the geqp3tol/RRQR role)."""
     N, k, d = F.shape
-    res = F
-    picks = []
     norms0 = jnp.linalg.norm(F, axis=-1).max(axis=-1)  # [N]
-    step_norms = []
-    for step in range(r):
+
+    def body(step, st):
+        res, Jloc, sn = st
         rn = jnp.linalg.norm(res, axis=-1)            # [N, k]
         i = jnp.argmax(rn, axis=-1)                   # [N]
-        picks.append(i)
-        step_norms.append(jnp.take_along_axis(rn, i[:, None], 1)[:, 0])
+        Jloc = Jloc.at[:, step].set(i)
+        sn = sn.at[:, step].set(
+            jnp.take_along_axis(rn, i[:, None], 1)[:, 0])
         v = jnp.take_along_axis(res, i[:, None, None], 1)[:, 0]  # [N, d]
         vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
         v = v / jnp.maximum(vn, jnp.finfo(F.dtype).tiny)
         coef = jnp.einsum("nkd,nd->nk", res, v.conj())
         res = res - coef[:, :, None] * v[:, None, :]
-    Jloc = jnp.stack(picks, axis=1)                   # [N, r]
-    sn = jnp.stack(step_norms, axis=1)                # [N, r]
+        return res, Jloc, sn
+
+    _, Jloc, sn = jax.lax.fori_loop(
+        0, r, body,
+        (F, jnp.zeros((N, r), jnp.int32),
+         jnp.zeros((N, r), jnp.real(jnp.zeros((), F.dtype)).dtype)))
     ranks = (sn > tol * jnp.maximum(
         norms0, jnp.finfo(F.dtype).tiny)[:, None]).sum(axis=1)
     rmask = jnp.arange(r)[None, :] < ranks[:, None]   # [N, r]
