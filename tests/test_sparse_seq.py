@@ -317,3 +317,15 @@ def test_hodlr_fronts():
     x, rc = s.solve(b)
     assert rc == ReturnCode.SUCCESS
     assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+
+
+def test_matrix_io_roundtrip(tmp_path):
+    """Matrix-market read/write round trip (test_matrix_IO.cpp analog)."""
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    A = poisson2d(12)
+    p = str(tmp_path / "a.mtx")
+    A.write_matrix_market(p)
+    B = CSRMatrix.from_matrix_market(p)
+    assert B.n == A.n and B.nnz == A.nnz
+    assert np.allclose(B.data, A.data)
+    assert np.array_equal(B.colind, A.colind)
