@@ -52,12 +52,14 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "20"))
     vals = s.Ap.data.astype(np.float32)
     fac = None
+    import jax as _jax
     t0 = time.perf_counter()
     for _ in range(reps):
         fac = numeric.factorize(s.pdev, vals,
                                 matmul_precision=opts.matmul_precision)
-    import jax as _jax
-    _jax.block_until_ready(_jax.tree_util.tree_leaves(fac.tree))
+        # block each iteration: queuing all repetitions would hold `reps`
+        # copies of the factors in HBM simultaneously
+        _jax.block_until_ready(_jax.tree_util.tree_leaves(fac.tree))
     t_factor = (time.perf_counter() - t0) / reps
     flops = s.factor_flops()
     gflops = flops / t_factor / 1e9

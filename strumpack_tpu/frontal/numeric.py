@@ -407,41 +407,264 @@ class Factors:
         return total
 
 
+def _factor_level(pdev, li, spd, hss_tol, arrays, vals_ext, cb_flat,
+                  thresh, tol):
+    """One level of the factorization (split-program mode)."""
+    dtype = vals_ext.dtype
+    out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
+           "blr_ranks": {}, "hss": {}}
+    cb_parts = []
+    for bi, bd in enumerate(pdev.levels[li]):
+        bp = bd.bp
+        a = arrays[f"{li},{bi}"]
+        F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
+        F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
+            vals_ext[a["asm_vidx"]])
+        if bd.has_L:
+            F = _extend_add(F, cb_flat, a["posL"], a["offL"], a["strideL"])
+        if bd.has_R:
+            F = _extend_add(F, cb_flat, a["posR"], a["offR"], a["strideR"])
+        if bp.blr:
+            from . import blr as B
+            t = bp.tile
+            nt, nts = bp.p // t, bp.s_pad // t
+            lud, perms, Uu, Vu, Ul, Vl, CB, rk = B.blr_factor_bucket(
+                F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
+            out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
+            out["blr_ranks"][f"{li},{bi}"] = rk
+        elif bp.hss or bp.hodlr:
+            sH = bp.s_pad
+            F0 = F[0]
+            if bp.hss:
+                from ..structured.hss import HSSMatrix
+                H = HSSMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
+                              max_rank=bp.hss_rank, rel_tol=hss_tol)
+            else:
+                from ..structured.hodlr import HODLRMatrix
+                H = HODLRMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
+                                max_rank=bp.hss_rank, rel_tol=hss_tol)
+            H.factor()
+            F12 = F0[:sH, sH:]
+            F21 = F0[sH:, :sH]
+            S12 = H.solve(F12) if bp.u_pad else F12
+            CB = (F0[sH:, sH:] - jnp.matmul(
+                F21, S12, preferred_element_type=dtype))[None]
+            out["hss"][f"{li},{bi}"] = (H, S12, F21)
+        elif spd:
+            L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
+            out["lu"][f"{li},{bi}"] = L
+            out["L21"][f"{li},{bi}"] = L21
+        else:
+            lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
+            if bp.lossy:
+                lu = _quantize(lu, bp.lossy)
+                L21 = _quantize(L21, bp.lossy)
+                U12 = _quantize(U12, bp.lossy)
+            out["lu"][f"{li},{bi}"] = lu
+            out["perm"][f"{li},{bi}"] = perm
+            out["L21"][f"{li},{bi}"] = L21
+            out["U12"][f"{li},{bi}"] = U12
+        cb_parts.append(CB.reshape(-1))
+    cb_flat = (jnp.concatenate(cb_parts) if cb_parts
+               else jnp.zeros((0,), dtype=dtype))
+    return out, cb_flat
+
+
 def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
               blr_tol=1e-4, spd=False, hss_tol=1e-4,
               matmul_precision="float32") -> Factors:
     """Numeric factorization: one jitted program for the whole level loop
-    (cached per plan + dtype)."""
+    (cached per plan + dtype), or per-level programs for very large plans
+    (same program-size guard as the solve)."""
     Avals = jnp.asarray(Avals, dtype=dtype)
     dtype = Avals.dtype
     rdt = jnp.real(jnp.zeros((), dtype)).dtype
-    key = ("factor", dtype.name, spd, hss_tol, matmul_precision)
-    fn = pdev._jit_cache.get(key)
-    if fn is None:
-        fn = jax.jit(partial(_factor_impl, pdev, spd=spd, hss_tol=hss_tol))
-        pdev._jit_cache[key] = fn
+    nbuckets = sum(len(l) for l in pdev.levels)
+    if nbuckets <= SPLIT_SOLVE_BUCKETS:
+        key = ("factor", dtype.name, spd, hss_tol, matmul_precision)
+        fn = pdev._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(_factor_impl, pdev, spd=spd,
+                                 hss_tol=hss_tol))
+            pdev._jit_cache[key] = fn
+        with jax.default_matmul_precision(matmul_precision):
+            tree = fn(pdev.arrays, Avals,
+                      jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))
+        fac = Factors(pdev, dtype, tree)
+        fac.spd = spd
+        return fac
+
+    # split-program mode
+    tree = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
+            "blr_ranks": {}, "hss": {}}
     with jax.default_matmul_precision(matmul_precision):
-        tree = fn(pdev.arrays, Avals,
-                  jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))
+        vals_ext = jnp.concatenate(
+            [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
+        cb_flat = jnp.zeros((0,), dtype=dtype)
+        for li in range(len(pdev.levels)):
+            key = ("factor_lvl", li, dtype.name, spd, hss_tol,
+                   matmul_precision)
+            fn = pdev._jit_cache.get(key)
+            if fn is None:
+                fn = jax.jit(partial(_factor_level, pdev, li, spd, hss_tol))
+                pdev._jit_cache[key] = fn
+            out, cb_flat = fn(pdev.arrays, vals_ext,
+                              cb_flat, jnp.asarray(thresh, rdt),
+                              jnp.asarray(blr_tol, rdt))
+            for k in tree:
+                tree[k].update(out[k])
     fac = Factors(pdev, dtype, tree)
     fac.spd = spd
     return fac
 
 
+def _solve_fwd_level(pdev, li, arrays, fac_tree, bext, cbv_flat):
+    """One forward-sweep level (split-program mode for very large plans)."""
+    dtype = bext.dtype
+    nrhs = bext.shape[1]
+    ys = []
+    parts = []
+    for bi, bd in enumerate(pdev.levels[li]):
+        bp = bd.bp
+        a = arrays[f"{li},{bi}"]
+        key = f"{li},{bi}"
+        bloc = jnp.concatenate(
+            [bext[a["sep_glob"]],
+             jnp.zeros((bp.nf, bp.u_pad, nrhs), dtype)], axis=1)
+        if bd.has_L:
+            bloc = _ext_add_vec(bloc, cbv_flat, a["posL"], a["voffL"])
+        if bd.has_R:
+            bloc = _ext_add_vec(bloc, cbv_flat, a["posR"], a["voffR"])
+        if bp.blr:
+            from . import blr as B
+            lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
+            t = bp.tile
+            y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
+                                      nts=bp.s_pad // t, nt=bp.p // t)
+        elif bp.hss or bp.hodlr:
+            H, S12, F21 = fac_tree["hss"][key]
+            sH = bp.s_pad
+            y = H.solve(bloc[0, :sH])[None]
+            cbv = bloc[:, sH:] - jnp.matmul(
+                F21, y[0], preferred_element_type=dtype)[None]
+        elif key not in fac_tree["perm"]:
+            s = bp.s_pad
+            L = fac_tree["lu"][key]
+            L21 = fac_tree["L21"][key]
+            y = jax.lax.linalg.triangular_solve(
+                L, bloc[:, :s], left_side=True, lower=True)
+            cbv = bloc[:, s:] - jnp.matmul(L21, y,
+                                           preferred_element_type=dtype)
+        else:
+            s = bp.s_pad
+            lu = _dequantize(fac_tree["lu"][key], dtype)
+            perm = fac_tree["perm"][key]
+            L21 = _dequantize(fac_tree["L21"][key], dtype)
+            bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
+            y = jax.lax.linalg.triangular_solve(
+                lu, bsep, left_side=True, lower=True, unit_diagonal=True)
+            cbv = bloc[:, s:] - jnp.matmul(L21, y,
+                                           preferred_element_type=dtype)
+        ys.append(y)
+        parts.append(cbv.reshape(-1, nrhs))
+    cbv_flat = (jnp.concatenate(parts) if parts
+                else jnp.zeros((0, nrhs), dtype))
+    return ys, cbv_flat
+
+
+def _solve_bwd_level(pdev, li, arrays, fac_tree, ys, xext):
+    dtype = xext.dtype
+    nrhs = xext.shape[1]
+    n = pdev.plan.n
+    for bi, bd in enumerate(pdev.levels[li]):
+        bp = bd.bp
+        a = arrays[f"{li},{bi}"]
+        key = f"{li},{bi}"
+        xupd = xext[a["upd_glob"]]
+        if bp.blr:
+            from . import blr as B
+            lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
+            t = bp.tile
+            xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[bi], xupd, t=t,
+                                    nts=bp.s_pad // t, nt=bp.p // t)
+        elif bp.hss or bp.hodlr:
+            H, S12, F21 = fac_tree["hss"][key]
+            xsep = ys[bi] - jnp.matmul(
+                S12, xupd[0], preferred_element_type=dtype)[None]
+        elif key not in fac_tree["perm"]:
+            L = fac_tree["lu"][key]
+            L21 = fac_tree["L21"][key]
+            z = ys[bi] - jnp.matmul(
+                L21.conj().transpose(0, 2, 1), xupd,
+                preferred_element_type=dtype)
+            xsep = jax.lax.linalg.triangular_solve(
+                L, z, left_side=True, lower=True, transpose_a=True,
+                conjugate_a=True)
+        else:
+            lu = _dequantize(fac_tree["lu"][key], dtype)
+            U12 = _dequantize(fac_tree["U12"][key], dtype)
+            z = ys[bi] - jnp.matmul(U12, xupd,
+                                    preferred_element_type=dtype)
+            xsep = jax.lax.linalg.triangular_solve(
+                lu, z, left_side=True, lower=False)
+        xext = xext.at[a["sep_glob"].reshape(-1)].set(
+            xsep.reshape(-1, nrhs))
+        xext = xext.at[n].set(jnp.zeros((nrhs,), dtype))
+    return xext
+
+
+# plans larger than this many (level, bucket) entries split the solve into
+# per-level programs: a single whole-solve program at 64^3 scale produces a
+# ~58 MB TPU program image that faults the device (instruction memory)
+SPLIT_SOLVE_BUCKETS = 40
+
+
 def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
     """Multifrontal solve; b is [n] or [n, nrhs] in the permuted+scaled
-    ordering (the driver handles transforms).  One jitted program."""
+    ordering (the driver handles transforms).  One jitted program, or
+    per-level programs for very large plans."""
     pdev = fac.pdev
+    plan = pdev.plan
     b = jnp.asarray(b, dtype=fac.dtype)
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
     spd = getattr(fac, "spd", False)
-    key = ("solve", fac.dtype.name, b.shape[1], spd, matmul_precision)
-    fn = pdev._jit_cache.get(key)
-    if fn is None:
-        fn = jax.jit(partial(_solve_impl, pdev))
-        pdev._jit_cache[key] = fn
+    nbuckets = sum(len(l) for l in pdev.levels)
+    if nbuckets <= SPLIT_SOLVE_BUCKETS:
+        key = ("solve", fac.dtype.name, b.shape[1], spd, matmul_precision)
+        fn = pdev._jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(_solve_impl, pdev))
+            pdev._jit_cache[key] = fn
+        with jax.default_matmul_precision(matmul_precision):
+            x = fn(pdev.arrays, fac.tree, b)
+        return x[:, 0] if squeeze else x
+
+    # split-program mode
+    n = plan.n
+    nrhs = b.shape[1]
     with jax.default_matmul_precision(matmul_precision):
-        x = fn(pdev.arrays, fac.tree, b)
+        bext = jnp.concatenate([b, jnp.zeros((1, nrhs), b.dtype)], axis=0)
+        all_ys = {}
+        cbv_flat = jnp.zeros((0, nrhs), dtype=b.dtype)
+        for li in range(len(pdev.levels)):
+            key = ("solve_fwd", li, fac.dtype.name, nrhs, spd,
+                   matmul_precision)
+            fn = pdev._jit_cache.get(key)
+            if fn is None:
+                fn = jax.jit(partial(_solve_fwd_level, pdev, li))
+                pdev._jit_cache[key] = fn
+            ys, cbv_flat = fn(pdev.arrays, fac.tree, bext, cbv_flat)
+            all_ys[li] = ys
+        xext = jnp.zeros((n + 1, nrhs), dtype=b.dtype)
+        for li in range(len(pdev.levels) - 1, -1, -1):
+            key = ("solve_bwd", li, fac.dtype.name, nrhs, spd,
+                   matmul_precision)
+            fn = pdev._jit_cache.get(key)
+            if fn is None:
+                fn = jax.jit(partial(_solve_bwd_level, pdev, li))
+                pdev._jit_cache[key] = fn
+            xext = fn(pdev.arrays, fac.tree, all_ys[li], xext)
+    x = xext[:n]
     return x[:, 0] if squeeze else x

@@ -280,8 +280,11 @@ class SparseSolver:
                 bdev = jnp.asarray(bcol, dtype=rd)
                 x0dev = (jnp.asarray(x0col, dtype=rd)
                          if x0col is not None else None)
+                from .frontal.numeric import SPLIT_SOLVE_BUCKETS
+                small_plan = (sum(len(l) for l in self.pdev.levels)
+                              <= SPLIT_SOLVE_BUCKETS)
                 if (solver == KrylovSolver.REFINE and x0col is None
-                        and not opts.verbose):
+                        and not opts.verbose and small_plan):
                     # production path: whole IR loop on device
                     from .krylov.device_loop import make_device_ir
                     key = ("ir", rd.name, opts.rel_tol, opts.abs_tol,
@@ -304,7 +307,7 @@ class SparseSolver:
                         atol=opts.abs_tol, maxit=opts.maxit,
                         verbose=opts.verbose)
                 if (solver == KrylovSolver.PREC_GMRES and x0col is None
-                        and not opts.verbose
+                        and not opts.verbose and small_plan
                         and not np.issubdtype(rd, np.complexfloating)):
                     from .krylov.device_gmres import make_device_gmres
                     key = ("gmres", rd.name, opts.rel_tol, opts.abs_tol,
