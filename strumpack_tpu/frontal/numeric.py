@@ -632,7 +632,8 @@ def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
     spd = getattr(fac, "spd", False)
     nbuckets = sum(len(l) for l in pdev.levels)
     if nbuckets <= SPLIT_SOLVE_BUCKETS:
-        key = ("solve", fac.dtype.name, b.shape[1], spd, matmul_precision)
+        key = ("solve", jnp.dtype(fac.dtype).name, b.shape[1], spd,
+               matmul_precision)
         fn = pdev._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(_solve_impl, pdev))
@@ -649,7 +650,7 @@ def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
         all_ys = {}
         cbv_flat = jnp.zeros((0, nrhs), dtype=b.dtype)
         for li in range(len(pdev.levels)):
-            key = ("solve_fwd", li, fac.dtype.name, nrhs, spd,
+            key = ("solve_fwd", li, jnp.dtype(fac.dtype).name, nrhs, spd,
                    matmul_precision)
             fn = pdev._jit_cache.get(key)
             if fn is None:
@@ -659,7 +660,7 @@ def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
             all_ys[li] = ys
         xext = jnp.zeros((n + 1, nrhs), dtype=b.dtype)
         for li in range(len(pdev.levels) - 1, -1, -1):
-            key = ("solve_bwd", li, fac.dtype.name, nrhs, spd,
+            key = ("solve_bwd", li, jnp.dtype(fac.dtype).name, nrhs, spd,
                    matmul_precision)
             fn = pdev._jit_cache.get(key)
             if fn is None:
