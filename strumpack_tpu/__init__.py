@@ -14,10 +14,30 @@ from .solver import SparseSolver
 from .sparse.csr import CSRMatrix
 from .utils.params import ReturnCode
 
+# structured dense API (structured::StructuredMatrix facade)
+from .structured.structured import (StructuredMatrix, StructuredOptions,
+                                    construct_from_dense,
+                                    construct_from_elements,
+                                    construct_matrix_free,
+                                    construct_partially_matrix_free)
+from .structured.structured import Type as StructuredType
+from .structured.hss import HSSMatrix
+from .structured.hodlr import HODLRMatrix
+
+# kernel-matrix machine learning
+from .kernel.kernel import (ANOVAKernel, DenseKernel, GaussKernel,
+                            KernelRegressionClassifier, LaplaceKernel)
+
 __version__ = "0.1.0"
 
 __all__ = [
     "SparseSolver", "SPOptions", "CSRMatrix", "ReturnCode",
     "ReorderingStrategy", "CompressionType", "MatchingJob", "KrylovSolver",
     "GramSchmidtType", "EquilibrationType", "BLROptions", "HSSOptions",
+    "StructuredMatrix", "StructuredOptions", "StructuredType",
+    "construct_from_dense", "construct_from_elements",
+    "construct_matrix_free", "construct_partially_matrix_free",
+    "HSSMatrix", "HODLRMatrix",
+    "GaussKernel", "LaplaceKernel", "ANOVAKernel", "DenseKernel",
+    "KernelRegressionClassifier",
 ]

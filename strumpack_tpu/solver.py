@@ -393,6 +393,27 @@ class SparseSolver:
             self.factor()
         return self.fac.pivot_growth(float(np.abs(self.Ap.data).max()))
 
+    def draw(self, path: str) -> None:
+        """Write a gnuplot-compatible visualization of the factor layout
+        (EliminationTree::draw parity, EliminationTree.cpp:213): one
+        rectangle per front's F11/F12/F21 blocks in matrix coordinates."""
+        if not self._reordered:
+            self.reorder()
+        tree = self.tree
+        upd = self.plan.upd
+        with open(path, "w") as f:
+            f.write("# gnuplot: plot '%s' with boxxy\n" % path)
+            f.write("# x y xlow xhigh ylow yhigh (front blocks)\n")
+            for i in range(tree.nseps):
+                sb, se = int(tree.sep_begin[i]), int(tree.sep_end[i])
+                if se <= sb:
+                    continue
+                cx, cy = (sb + se) / 2.0, (sb + se) / 2.0
+                f.write(f"{cx} {cy} {sb} {se} {sb} {se}\n")
+                for u in upd[i]:
+                    f.write(f"{(sb+se)/2.0} {u} {sb} {se} {u} {u+1}\n")
+                    f.write(f"{u} {(sb+se)/2.0} {u} {u+1} {sb} {se}\n")
+
     def delete_factors(self) -> None:
         """Free numeric factors, keep symbolic analysis
         (SparseSolverBase.cpp:723)."""

@@ -329,3 +329,20 @@ def test_matrix_io_roundtrip(tmp_path):
     assert B.n == A.n and B.nnz == A.nnz
     assert np.allclose(B.data, A.data)
     assert np.array_equal(B.colind, A.colind)
+
+
+def test_draw(tmp_path):
+    """Factor-layout visualization (EliminationTree::draw parity)."""
+    A = poisson2d(10)
+    s = SparseSolver(SPOptions())
+    s.set_csr_matrix(A)
+    p = str(tmp_path / "layout.dat")
+    s.draw(p)
+    lines = open(p).readlines()
+    assert len(lines) > 10
+
+
+def test_top_level_exports():
+    import strumpack_tpu as st
+    for name in st.__all__:
+        assert hasattr(st, name), name
