@@ -42,16 +42,19 @@ class BucketDev:
         self.bp = bp
         self.has_L = bool((bp.posL >= 0).any())
         self.has_R = bool((bp.posR >= 0).any())
+        def i32(a):
+            return (a.astype(np.int32)
+                    if a.size == 0 or a.max(initial=0) < 2**31 else a)
+
         self.host_arrays = dict(
             asm_bidx=bp.asm_bidx,
             asm_r=bp.asm_r,
             asm_c=bp.asm_c,
-            asm_vidx=bp.asm_vidx.astype(np.int32)
-            if bp.asm_vidx.max(initial=0) < 2**31 else bp.asm_vidx,
+            asm_vidx=i32(bp.asm_vidx),
             posL=bp.posL, posR=bp.posR,
-            offL=bp.offL, offR=bp.offR,
+            offL=i32(bp.offL), offR=i32(bp.offR),
             strideL=bp.strideL, strideR=bp.strideR,
-            voffL=bp.voffL, voffR=bp.voffR,
+            voffL=i32(bp.voffL), voffR=i32(bp.voffR),
             sep_glob=bp.sep_glob,
             upd_glob=bp.upd_glob,
         )
