@@ -23,6 +23,7 @@ from .structured.structured import (StructuredMatrix, StructuredOptions,
 from .structured.structured import Type as StructuredType
 from .structured.hss import HSSMatrix
 from .structured.hodlr import HODLRMatrix
+from .structured.butterfly import ButterflyMatrix
 
 # kernel-matrix machine learning
 from .kernel.kernel import (ANOVAKernel, DenseKernel, GaussKernel,
@@ -37,7 +38,7 @@ __all__ = [
     "StructuredMatrix", "StructuredOptions", "StructuredType",
     "construct_from_dense", "construct_from_elements",
     "construct_matrix_free", "construct_partially_matrix_free",
-    "HSSMatrix", "HODLRMatrix",
+    "HSSMatrix", "HODLRMatrix", "ButterflyMatrix",
     "GaussKernel", "LaplaceKernel", "ANOVAKernel", "DenseKernel",
     "KernelRegressionClassifier",
 ]

@@ -42,8 +42,15 @@ def _pad_pow2(m: int, leaf: int):
 @partial(jax.jit, static_argnames=("r",))
 def _trunc_basis(X, tol, r):
     """Orthonormal column basis of each batched block row X [..., k, m],
-    rank <= r, masked at relative tolerance: returns U [..., k, r]."""
+    rank <= r, masked at relative tolerance: returns U [..., k, r]
+    (zero-padded when min(k, m) < r)."""
     Uf, S, _ = jnp.linalg.svd(X, full_matrices=False)
+    q = S.shape[-1]
+    if q < r:
+        Uf = jnp.concatenate(
+            [Uf, jnp.zeros(Uf.shape[:-1] + (r - q,), Uf.dtype)], axis=-1)
+        S = jnp.concatenate(
+            [S, jnp.zeros(S.shape[:-1] + (r - q,), S.dtype)], axis=-1)
     s0 = S[..., :1]
     keep = (S > tol * jnp.maximum(s0, jnp.finfo(X.dtype).tiny))[..., :r]
     U = jnp.where(keep[..., None, :], Uf[..., :, :r], 0.0)
@@ -119,11 +126,8 @@ class HSSMatrix:
             S = S * maskn[:, None, :]
             Ru, _ = _trunc_basis(S, tol, r)                # [half, 2r, r]
             Rr = jnp.einsum("hkr,hkm->hrm", Ru.conj(), S)
-            T = jnp.concatenate([Cc[i1], Cc[i2]], axis=2)  # wrong axis fix
-            # Cc is [2*nodes, mp, r] -> stack along rank-input side:
-            # columns of node = [cols(c1), cols(c2)] -> [half, mp, 2r]
-            T = jnp.concatenate([Cc[i1], Cc[i2]], axis=2) \
-                if Cc.shape[1] == mp else None
+            # Cc is [2*nodes, mp, r] -> stack the two children along the
+            # rank axis: [half, mp, 2r]
             T = jnp.concatenate([Cc[i1], Cc[i2]], axis=2)
             T = T * maskn[:, :, None]
             Rv, _ = _trunc_basis(T.conj().transpose(0, 2, 1), tol, r)

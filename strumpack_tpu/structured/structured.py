@@ -19,6 +19,7 @@ class Type(enum.Enum):
     HSS = "hss"
     BLR = "blr"
     HODLR = "hodlr"
+    BUTTERFLY = "butterfly"
     LR = "lr"
     LOSSY = "lossy"
 
@@ -81,6 +82,8 @@ def construct_from_dense(A, opts: StructuredOptions | None = None,
         return _LRMatrix(A, opts)
     if t == Type.LOSSY:
         return _LossyMatrix(A, opts)
+    if t == Type.BUTTERFLY:
+        return _ButterflyWrap(A, opts)
     raise ValueError(t)
 
 
@@ -282,6 +285,30 @@ class _BLRDense(StructuredMatrix):
         nt = self.mpad // self.t
         # actual (masked) rank storage
         return int(diag.size + 2 * self.t * self._ranks.sum())
+
+
+class _ButterflyWrap(StructuredMatrix):
+    """Butterfly (HODBF off-diagonal block role): mult-only facade entry —
+    butterfly blocks are applied, not solved, in the reference too
+    (ButterflyMatrix has no standalone factor/solve)."""
+
+    def __init__(self, A, opts):
+        from .butterfly import ButterflyMatrix
+        A = np.asarray(A)
+        self.rows, self.cols = A.shape
+        self.bf = ButterflyMatrix(jnp.asarray(A),
+                                  leaf_size=min(opts.leaf_size, 64),
+                                  max_rank=opts.max_rank or 32,
+                                  rel_tol=opts.rel_tol)
+
+    def mult(self, x):
+        return self.bf.matvec(x)
+
+    def rank(self):
+        return self.bf.max_rank()
+
+    def memory(self):
+        return self.bf.memory()
 
 
 class _LRMatrix(StructuredMatrix):

@@ -1,0 +1,129 @@
+"""Host-core unit tests: native C++ vs NumPy equivalence, spmv, matching,
+separator trees, orderings."""
+import numpy as np
+import jax.numpy as jnp
+
+from strumpack_tpu.sparse.csr import CSRMatrix
+from strumpack_tpu.sparse.gen import poisson2d, poisson3d
+from strumpack_tpu.sparse.separator_tree import SeparatorTree
+from strumpack_tpu.sparse.symbolic import symbolic_factorization
+
+
+def test_native_symbolic_matches_numpy():
+    """C++ symbolic factorization == NumPy reference implementation."""
+    from strumpack_tpu.native import symbolic_factorization_native
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    A = poisson2d(24)
+    perm, iperm, tree = geometric_nd(24, 24, leaf=8)
+    Ap = A.permute(perm, iperm)
+    native = symbolic_factorization_native(Ap, tree)
+    if native is None:
+        import pytest
+        pytest.skip("no C++ toolchain")
+    # NumPy reference
+    rp, ci = Ap.rowptr, Ap.colind
+    ref = [None] * tree.nseps
+    for i in range(tree.nseps):
+        sb, se = int(tree.sep_begin[i]), int(tree.sep_end[i])
+        pieces = []
+        if se > sb:
+            cols = ci[rp[sb]:rp[se]]
+            pieces.append(cols[cols >= se])
+        for ch in (int(tree.lch[i]), int(tree.rch[i])):
+            if ch >= 0:
+                u = ref[ch]
+                pieces.append(u[u >= se])
+        ref[i] = (np.unique(np.concatenate(pieces)) if pieces
+                  else np.empty(0, np.int64))
+    for a, b in zip(native, ref):
+        assert np.array_equal(a, b)
+
+
+def test_native_nd_valid_tree():
+    from strumpack_tpu.native import nested_dissection_native
+    A = poisson2d(30)
+    out = nested_dissection_native(A.rowptr, A.colind, A.n, leaf=16)
+    if out is None:
+        import pytest
+        pytest.skip("no C++ toolchain")
+    perm, iperm, tree = out
+    tree.check(A.n)
+    assert sorted(perm.tolist()) == list(range(A.n))
+    # ND quality: separator of the root should be near sqrt(n)-sized
+    assert tree.sep_size(tree.root) < 6 * 30
+
+
+def test_device_ell_spmv_matches_scipy():
+    from strumpack_tpu.ops.spmv import DeviceELL
+    A = poisson3d(8)
+    ell = DeviceELL(A, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.n)
+    y = np.asarray(ell @ jnp.asarray(x))
+    assert np.allclose(y, A.spmv(x))
+    # multi-rhs
+    X = rng.standard_normal((A.n, 3))
+    Y = np.asarray(ell @ jnp.asarray(X))
+    assert np.allclose(Y, A.spmv(X))
+    # value update path (structure reuse)
+    A2 = A.copy()
+    A2.data = A2.data * 2.0
+    ell.set_values(A2.data)
+    assert np.allclose(np.asarray(ell @ jnp.asarray(x)), A2.spmv(x))
+
+
+def test_equilibration_properties():
+    rng = np.random.default_rng(3)
+    import scipy.sparse as sp
+    n = 80
+    D = sp.diags(10.0 ** rng.integers(-6, 6, n))
+    A = CSRMatrix.from_scipy((D @ sp.random(n, n, density=0.1,
+                                            random_state=rng)
+                              + sp.eye(n)).tocsr())
+    dr, dc, rowcnd, colcnd, amax = A.equilibration()
+    S = A.scale_rows_cols(dr, dc)
+    rows = np.repeat(np.arange(n), np.diff(S.rowptr))
+    rmax = np.zeros(n)
+    np.maximum.at(rmax, rows, np.abs(S.data))
+    assert rmax.max() <= 1.0 + 1e-12
+
+
+def test_matching_puts_large_entries_on_diagonal():
+    from strumpack_tpu.sparse.matching import (apply_matching,
+                                               max_product_matching)
+    rng = np.random.default_rng(5)
+    import scipy.sparse as sp
+    n = 60
+    p = rng.permutation(n)
+    B = sp.lil_matrix((n, n))
+    for i in range(n):
+        B[i, p[i]] = 100.0
+        B[i, rng.integers(0, n)] += 0.1
+    A = CSRMatrix.from_scipy(sp.csr_matrix(B))
+    q, dr, dc = max_product_matching(A)
+    assert np.array_equal(q, p)  # recovered the permuted diagonal
+    Am = apply_matching(A, q, dr, dc)
+    d = Am.to_scipy().diagonal()
+    assert (np.abs(d) > 0.5).all()  # scaled diagonal ~1
+
+
+def test_separator_tree_from_etree():
+    from strumpack_tpu.sparse.separator_tree import from_etree_perm
+    A = poisson2d(12).symmetrize_sparsity()
+    perm = np.arange(A.n, dtype=np.int64)
+    tree = from_etree_perm(A.rowptr, A.colind, A.n, perm, perm, leaf=8)
+    tree.check(A.n)
+
+
+def test_amd_fill_reduction():
+    from strumpack_tpu.sparse.ordering.amd import amd_order
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import splu
+    A = poisson2d(15)
+    perm = amd_order(A.rowptr, A.colind, A.n)
+    assert sorted(perm.tolist()) == list(range(A.n))
+    S = A.to_scipy().tocsc()
+    natural = splu(S, permc_spec="NATURAL")
+    Sp = S[perm, :][:, perm]
+    withamd = splu(Sp.tocsc(), permc_spec="NATURAL")
+    assert (withamd.L.nnz + withamd.U.nnz) < (natural.L.nnz + natural.U.nnz)

@@ -189,3 +189,52 @@ def test_aca_baca():
         err = np.linalg.norm(np.asarray(U @ V) - G) / np.linalg.norm(G)
         assert err < 1e-8, (fn.__name__, err)
         assert int(np.asarray(ranks).max()) <= 8, fn.__name__
+
+
+def test_butterfly_exact_low_rank():
+    """Butterfly factorization is exact on globally low-rank input."""
+    import jax.numpy as jnp
+    from strumpack_tpu.structured.butterfly import ButterflyMatrix
+    rng = np.random.default_rng(0)
+    m = 128
+    A = np.outer(rng.standard_normal(m), rng.standard_normal(m))
+    B = ButterflyMatrix(jnp.asarray(A), levels=4, max_rank=4, rel_tol=1e-12)
+    x = rng.standard_normal(m)
+    y = np.asarray(B.matvec(jnp.asarray(x)))
+    assert np.linalg.norm(y - A @ x) / np.linalg.norm(A @ x) < 1e-12
+
+
+def test_butterfly_dft():
+    """Butterfly compresses the DFT (the canonical complementary-low-rank
+    operator, ButterflyPACK's headline use case)."""
+    import jax.numpy as jnp
+    from strumpack_tpu.structured.butterfly import ButterflyMatrix
+    rng = np.random.default_rng(1)
+    m = 256
+    j = np.arange(m)
+    F = np.exp(2j * np.pi * np.outer(j, j) / m) / np.sqrt(m)
+    B = ButterflyMatrix(jnp.asarray(F), levels=4, max_rank=40, rel_tol=1e-9)
+    x = rng.standard_normal(m) + 1j * rng.standard_normal(m)
+    y = np.asarray(B.matvec(jnp.asarray(x)))
+    assert np.linalg.norm(y - F @ x) / np.linalg.norm(F @ x) < 1e-7
+
+
+def test_butterfly_facade():
+    from strumpack_tpu.structured.structured import (StructuredOptions,
+                                                     Type,
+                                                     construct_from_dense)
+    rng = np.random.default_rng(2)
+    m = 128
+    j = np.arange(m)
+    # real oscillatory kernel
+    A = np.cos(2 * np.pi * np.outer(j, j) / m) + 0.0
+    # real oscillatory kernels carry two frequencies -> ~2x the complex
+    # butterfly rank
+    S = construct_from_dense(A, StructuredOptions(type=Type.BUTTERFLY,
+                                                  rel_tol=1e-8,
+                                                  max_rank=48,
+                                                  leaf_size=8))
+    x = rng.standard_normal(m)
+    rel = (np.linalg.norm(np.asarray(S.mult(x)) - A @ x)
+           / np.linalg.norm(A @ x))
+    assert rel < 1e-6, rel
