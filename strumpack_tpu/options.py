@@ -124,6 +124,38 @@ class SPOptions:
     # 3-pass bf16) or "bfloat16" (fast preconditioner mode, more IR its)
     matmul_precision: str = "float32"
 
+    def describe(self) -> str:
+        """--help text listing every supported flag (reference -h parity)."""
+        import io
+        out = io.StringIO()
+        out.write("# sparse solver options (--sp_*):\n")
+        for line in (
+            "--sp_verbose / --sp_quiet",
+            "--sp_Krylov_solver auto|direct|refine|prec_gmres|gmres|"
+            "prec_bicgstab|bicgstab",
+            "--sp_rel_tol <float>   --sp_abs_tol <float>   --sp_maxit <int>",
+            "--sp_gmres_restart <int>   --sp_gram_schmidt_type "
+            "classical|modified",
+            "--sp_reordering_method natural|metis|nd|geometric|rcm|amd",
+            "--sp_nd_leaf <int>  --sp_nx/--sp_ny/--sp_nz <int>  "
+            "--sp_components <int>  --sp_separator_width <int>",
+            "--sp_matching none|mpds   --sp_enable/disable_equilibration",
+            "--sp_enable/disable_pivoting   "
+            "--sp_enable/disable_replace_tiny_pivots",
+            "--sp_enable/disable_symmetric   "
+            "--sp_enable/disable_positive_definite",
+            "--sp_compression none|blr|hss|hodlr|lossy",
+            "--sp_compression_min_sep_size <int>  "
+            "--sp_compression_min_front_size <int>  "
+            "--sp_compression_leaf_size <int>  --sp_lossy_precision 8|16",
+        ):
+            out.write("  " + line + "\n")
+        out.write("# BLR options (--blr_*): leaf_size, max_rank, rel_tol, "
+                  "abs_tol\n")
+        out.write("# HSS options (--hss_*): leaf_size, d0, dd, max_rank, "
+                  "rel_tol, abs_tol\n")
+        return out.getvalue()
+
     def set_from_command_line(self, argv) -> list:
         """Parse --sp_/--blr_/--hss_ flags; returns unrecognized args."""
         rest = []
@@ -181,6 +213,10 @@ class SPOptions:
 
         while i < len(argv):
             a = argv[i]
+            if a in ("-h", "--help"):
+                print(self.describe())
+                i += 1
+                continue
             if not a.startswith("--"):
                 rest.append(a)
                 i += 1

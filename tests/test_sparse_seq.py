@@ -346,3 +346,10 @@ def test_top_level_exports():
     import strumpack_tpu as st
     for name in st.__all__:
         assert hasattr(st, name), name
+
+
+def test_options_help(capsys):
+    opts = SPOptions()
+    opts.set_from_command_line(["--help"])
+    out = capsys.readouterr().out
+    assert "--sp_Krylov_solver" in out and "--blr_" in out
