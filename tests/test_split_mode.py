@@ -1,0 +1,93 @@
+"""Split-program factor/solve mode tests.
+
+Very large plans (>SPLIT_SOLVE_BUCKETS buckets) compile per-level programs
+instead of whole-phase programs (a ~58 MB single-program image faults the
+TPU at 64^3 scale).  These tests force split mode on small problems so the
+path is covered deterministically on CPU, including every front type and
+multi-rhs solves.
+"""
+import numpy as np
+import pytest
+
+import strumpack_tpu.frontal.numeric as numeric
+from strumpack_tpu import (CompressionType, KrylovSolver, ReturnCode,
+                           SparseSolver, SPOptions)
+from strumpack_tpu.sparse.gen import poisson2d
+
+
+@pytest.fixture
+def force_split(monkeypatch):
+    monkeypatch.setattr(numeric, "SPLIT_SOLVE_BUCKETS", 0)
+
+
+def _check(A, opts, nrhs=1, tol=1e-10):
+    rng = np.random.default_rng(0)
+    xex = (rng.standard_normal((A.n, nrhs)) if nrhs > 1
+           else rng.standard_normal(A.n))
+    b = A.spmv(xex)
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    res = A.max_scaled_residual(x, b)
+    assert res < tol, res
+    return s
+
+
+def test_split_dense_direct(force_split):
+    _check(poisson2d(20), SPOptions(krylov_solver=KrylovSolver.DIRECT),
+           tol=1e-12)
+
+
+def test_split_multiple_rhs(force_split):
+    _check(poisson2d(15), SPOptions(krylov_solver=KrylovSolver.DIRECT),
+           nrhs=3, tol=1e-12)
+
+
+def test_split_auto_refinement_host_loop(force_split):
+    # device IR is gated off for split plans -> host loop path
+    s = _check(poisson2d(20), SPOptions(rel_tol=1e-10), tol=1e-8)
+    assert s.Krylov_iterations() <= 3
+
+
+def test_split_blr(force_split):
+    opts = SPOptions(compression=CompressionType.BLR,
+                     compression_min_sep_size=32, rel_tol=1e-6)
+    opts.blr.rel_tol = 1e-6
+    _check(poisson2d(30), opts, tol=1e-4)
+
+
+def test_split_spd(force_split):
+    _check(poisson2d(20), SPOptions(symmetric=True, positive_definite=True,
+                                    krylov_solver=KrylovSolver.DIRECT),
+           tol=1e-12)
+
+
+def test_split_lossy(force_split):
+    opts = SPOptions(compression=CompressionType.LOSSY,
+                     compression_min_sep_size=16, lossy_precision=16,
+                     rel_tol=1e-8)
+    _check(poisson2d(20), opts, tol=1e-6)
+
+
+def test_split_hss_fronts(force_split):
+    opts = SPOptions(compression=CompressionType.HSS,
+                     compression_min_sep_size=32, rel_tol=1e-6)
+    opts.hss.rel_tol = 1e-6
+    opts.hss.leaf_size = 16
+    _check(poisson2d(40), opts, tol=1e-4)
+
+
+def test_split_matches_whole(monkeypatch):
+    """Split-mode and whole-mode produce identical factors/solutions."""
+    A = poisson2d(15)
+    rng = np.random.default_rng(1)
+    b = A.spmv(rng.standard_normal(A.n))
+    xs = {}
+    for mode, nb in (("whole", 10**9), ("split", 0)):
+        monkeypatch.setattr(numeric, "SPLIT_SOLVE_BUCKETS", nb)
+        s = SparseSolver(SPOptions(krylov_solver=KrylovSolver.DIRECT))
+        s.set_csr_matrix(A)
+        x, rc = s.solve(b)
+        xs[mode] = np.asarray(x)
+    assert np.allclose(xs["whole"], xs["split"], rtol=1e-12, atol=1e-12)
