@@ -149,6 +149,47 @@ def _dequantize(t, dtype):
     return t
 
 
+def _hss_front_bucket(F, bp, hss_tol, dtype):
+    """Batched HSS/HODLR partial factorization of a bucket via vmap:
+    each front compresses + factors F11 and forms the explicit Schur
+    pieces; the per-front structured objects are pytrees, so vmap returns
+    them with batched leaves."""
+    sH = bp.s_pad
+
+    def one(F0):
+        if bp.hss:
+            from ..structured.hss import HSSMatrix
+            H = HSSMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
+                          max_rank=bp.hss_rank, rel_tol=hss_tol)
+        else:
+            from ..structured.hodlr import HODLRMatrix
+            H = HODLRMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
+                            max_rank=bp.hss_rank, rel_tol=hss_tol)
+        H.factor()
+        F12 = F0[:sH, sH:]
+        F21 = F0[sH:, :sH]
+        S12 = H.solve(F12) if bp.u_pad else F12
+        CB = F0[sH:, sH:] - jnp.matmul(F21, S12,
+                                       preferred_element_type=F0.dtype)
+        return H, S12, F21, CB
+
+    if bp.nf == 1:
+        H, S12, F21, CB = one(F[0])
+        return H, S12[None], F21[None], CB[None]
+    return jax.vmap(one)(F)
+
+
+def _hss_solve_fwd(bp, entry, bloc, dtype):
+    H, S12, F21 = entry
+    sH = bp.s_pad
+    if bp.nf == 1:
+        y = H.solve(bloc[0, :sH])[None]
+    else:
+        y = jax.vmap(lambda h, b: h.solve(b))(H, bloc[:, :sH])
+    cbv = bloc[:, sH:] - jnp.matmul(F21, y, preferred_element_type=dtype)
+    return y, cbv
+
+
 def _ext_add_vec(v, cbv_flat, pos, voff):
     idx = voff[:, None] + pos
     mask = pos >= 0
@@ -192,25 +233,11 @@ def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
                 out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
                 out["blr_ranks"][f"{li},{bi}"] = rk
             elif bp.hss or bp.hodlr:
-                # HSS/HODLR front (FrontHSS / FrontHODLR roles): compress +
-                # factor F11 (ULV / SMW), explicit Schur S12 = F11^-1 F12,
-                # CB = F22 - F21 S12.
-                sH = bp.s_pad
-                F0 = F[0]
-                if bp.hss:
-                    from ..structured.hss import HSSMatrix
-                    H = HSSMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
-                                  max_rank=bp.hss_rank, rel_tol=hss_tol)
-                else:
-                    from ..structured.hodlr import HODLRMatrix
-                    H = HODLRMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
-                                    max_rank=bp.hss_rank, rel_tol=hss_tol)
-                H.factor()
-                F12 = F0[:sH, sH:]
-                F21 = F0[sH:, :sH]
-                S12 = H.solve(F12) if bp.u_pad else F12
-                CB = (F0[sH:, sH:] - jnp.matmul(
-                    F21, S12, preferred_element_type=dtype))[None]
+                # HSS/HODLR fronts (FrontHSS / FrontHODLR roles), batched
+                # via vmap: compress + factor F11 (ULV / SMW), explicit
+                # Schur S12 = F11^-1 F12, CB = F22 - F21 S12.
+                H, S12, F21, CB = _hss_front_bucket(
+                    F, bp, hss_tol, dtype)
                 out["hss"][f"{li},{bi}"] = (H, S12, F21)
             elif spd:
                 L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
@@ -262,11 +289,8 @@ def _solve_impl(pdev, arrays, fac_tree, b):
                 y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
                                           nts=bp.s_pad // t, nt=bp.p // t)
             elif bp.hss or bp.hodlr:
-                H, S12, F21 = fac_tree["hss"][key]
-                sH = bp.s_pad
-                y = H.solve(bloc[0, :sH])[None]
-                cbv = bloc[:, sH:] - jnp.matmul(
-                    F21, y[0], preferred_element_type=dtype)[None]
+                y, cbv = _hss_solve_fwd(bp, fac_tree["hss"][key], bloc,
+                                        dtype)
             elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
                 s = bp.s_pad
                 L = fac_tree["lu"][key]
@@ -306,7 +330,7 @@ def _solve_impl(pdev, arrays, fac_tree, b):
             elif bp.hss or bp.hodlr:
                 H, S12, F21 = fac_tree["hss"][key]
                 xsep = ys[key] - jnp.matmul(
-                    S12, xupd[0], preferred_element_type=dtype)[None]
+                    S12, xupd, preferred_element_type=dtype)
             elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
                 L = fac_tree["lu"][key]
                 L21 = fac_tree["L21"][key]
@@ -436,22 +460,7 @@ def _factor_level(pdev, li, spd, hss_tol, arrays, vals_ext, cb_flat,
             out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
             out["blr_ranks"][f"{li},{bi}"] = rk
         elif bp.hss or bp.hodlr:
-            sH = bp.s_pad
-            F0 = F[0]
-            if bp.hss:
-                from ..structured.hss import HSSMatrix
-                H = HSSMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
-                              max_rank=bp.hss_rank, rel_tol=hss_tol)
-            else:
-                from ..structured.hodlr import HODLRMatrix
-                H = HODLRMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
-                                max_rank=bp.hss_rank, rel_tol=hss_tol)
-            H.factor()
-            F12 = F0[:sH, sH:]
-            F21 = F0[sH:, :sH]
-            S12 = H.solve(F12) if bp.u_pad else F12
-            CB = (F0[sH:, sH:] - jnp.matmul(
-                F21, S12, preferred_element_type=dtype))[None]
+            H, S12, F21, CB = _hss_front_bucket(F, bp, hss_tol, dtype)
             out["hss"][f"{li},{bi}"] = (H, S12, F21)
         elif spd:
             L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
@@ -545,11 +554,7 @@ def _solve_fwd_level(pdev, li, arrays, fac_tree, bext, cbv_flat):
             y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
                                       nts=bp.s_pad // t, nt=bp.p // t)
         elif bp.hss or bp.hodlr:
-            H, S12, F21 = fac_tree["hss"][key]
-            sH = bp.s_pad
-            y = H.solve(bloc[0, :sH])[None]
-            cbv = bloc[:, sH:] - jnp.matmul(
-                F21, y[0], preferred_element_type=dtype)[None]
+            y, cbv = _hss_solve_fwd(bp, fac_tree["hss"][key], bloc, dtype)
         elif key not in fac_tree["perm"]:
             s = bp.s_pad
             L = fac_tree["lu"][key]
@@ -593,7 +598,7 @@ def _solve_bwd_level(pdev, li, arrays, fac_tree, ys, xext):
         elif bp.hss or bp.hodlr:
             H, S12, F21 = fac_tree["hss"][key]
             xsep = ys[bi] - jnp.matmul(
-                S12, xupd[0], preferred_element_type=dtype)[None]
+                S12, xupd, preferred_element_type=dtype)
         elif key not in fac_tree["perm"]:
             L = fac_tree["lu"][key]
             L21 = fac_tree["L21"][key]

@@ -216,7 +216,6 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     bp.lossy = getattr(compression, "lossy_precision", 16)
                 elif (compression.compression in (CompressionType.HSS,
                                                   CompressionType.HODLR)
-                        and nfr == 1 and nf == 1
                         and sp >= compression.compression_min_sep_size):
                     if compression.compression == CompressionType.HSS:
                         bp.hss = True

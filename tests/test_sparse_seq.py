@@ -353,3 +353,25 @@ def test_options_help(capsys):
     opts.set_from_command_line(["--help"])
     out = capsys.readouterr().out
     assert "--sp_Krylov_solver" in out and "--blr_" in out
+
+
+def test_hss_fronts_batched():
+    """HSS fronts with batched (nf > 1) buckets via vmap."""
+    from strumpack_tpu import CompressionType
+    A = poisson3d(12)
+    opts = SPOptions(compression=CompressionType.HSS,
+                     compression_min_sep_size=32, rel_tol=1e-6)
+    opts.hss.rel_tol = 1e-7
+    opts.hss.leaf_size = 16
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(12, 12, 12)
+    batched = [bp for lvl in s.plan.levels for bp in lvl
+               if bp.hss and bp.nf > 1]
+    assert batched, "no batched HSS buckets in this configuration"
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
