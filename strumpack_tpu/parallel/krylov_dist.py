@@ -75,3 +75,21 @@ def _fdt(fac_tree):
     for v in fac_tree["blr"].values():
         return v[0].dtype
     raise ValueError("empty factor tree")
+
+
+def make_sharded_gmres(pdev, mesh: Mesh, rtol, atol, maxit, restart):
+    """Mesh-sharded restarted GMRES (GMResMPI role): block-row sharded
+    spmv and Krylov basis, psum-lowered dots, replicated preconditioner
+    application — built on the on-device GMRES machinery."""
+    from ..krylov.device_gmres import make_device_gmres
+    base = make_device_gmres(pdev, rtol, atol, maxit, restart)
+    rowshard = NamedSharding(mesh, P("b", None))
+    repl = NamedSharding(mesh, P())
+
+    def run(fac_tree, vals, cols, b):
+        vals = jax.lax.with_sharding_constraint(vals, rowshard)
+        cols = jax.lax.with_sharding_constraint(cols, rowshard)
+        b = jax.lax.with_sharding_constraint(b, NamedSharding(mesh, P("b")))
+        return base(fac_tree, vals, cols, b)
+
+    return jax.jit(run)

@@ -86,3 +86,25 @@ def test_sharded_iterative_refinement():
     x = np.asarray(x)
     assert np.linalg.norm(x - xex) / np.linalg.norm(xex) < 1e-10
     assert int(it) > 1  # f32 factor needs refinement steps in f64
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_gmres():
+    """Mesh-sharded restarted GMRES (GMResMPI analog)."""
+    from strumpack_tpu.parallel.krylov_dist import make_sharded_gmres
+    from strumpack_tpu.ops.spmv import DeviceELL
+    A, Ap, perm, pdev = _problem(nx=16, leaf=4)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    ell = DeviceELL(Ap, dtype=np.float64)
+    fac = numeric.factorize(pdev, Ap.data.astype(np.float32))
+    fn = make_sharded_gmres(pdev, mesh, rtol=1e-12, atol=1e-14, maxit=60,
+                            restart=20)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(Ap.n)
+    b = Ap.spmv(xex)
+    with mesh:
+        x, it, rel = fn(fac.tree, ell.vals, ell.cols, jnp.asarray(b))
+    # GMRES monitors the preconditioned residual; with an f32-factor
+    # preconditioner the true residual floors around f32 noise
+    assert np.linalg.norm(np.asarray(x) - xex) / np.linalg.norm(xex) < 1e-5
+    assert 1 <= int(it) < 61
