@@ -108,3 +108,44 @@ def test_sharded_gmres():
     # preconditioner the true residual floors around f32 noise
     assert np.linalg.norm(np.asarray(x) - xex) / np.linalg.norm(xex) < 1e-5
     assert 1 <= int(it) < 61
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_distributed_driver_direct():
+    """DistributedSparseSolver (SparseSolverMPIDist role), direct solve."""
+    from strumpack_tpu import KrylovSolver, ReturnCode, SPOptions
+    from strumpack_tpu.parallel.driver import DistributedSparseSolver
+    A = poisson2d(20)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("b", "r", "c"))
+    opts = SPOptions(krylov_solver=KrylovSolver.DIRECT,
+                     factor_dtype="float64", nd_leaf=4)
+    s = DistributedSparseSolver(mesh, opts)
+    s.set_csr_matrix(A)
+    s.reorder(20, 20)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e-12
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_distributed_driver_refine():
+    from strumpack_tpu import ReturnCode, SPOptions
+    from strumpack_tpu.parallel.driver import DistributedSparseSolver
+    A = poisson2d(16)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    opts = SPOptions(factor_dtype="float32", refine_dtype="float64",
+                     rel_tol=1e-10, nd_leaf=4)
+    s = DistributedSparseSolver(mesh, opts)
+    s.set_csr_matrix(A)
+    s.reorder(16, 16)
+    rng = np.random.default_rng(1)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e-9
+    assert s.Krylov_iterations() >= 2
