@@ -103,6 +103,7 @@ class SPOptions:
     # scaling / matching
     matching: MatchingJob = MatchingJob.NONE
     equilibration: bool = True
+    equilibration_type: EquilibrationType = EquilibrationType.BOTH
     # pivoting / symmetry
     pivoting: bool = True
     replace_tiny_pivots: bool = True

@@ -86,7 +86,14 @@ class SparseSolver:
             self.mdr, self.mdc = matching_scaling(A, self.mq)
             A = apply_matching(A, self.mq, self.mdr, self.mdc)
         if self.opts.equilibration:
+            from .options import EquilibrationType
             dr, dc, *_ = A.equilibration()
+            et = getattr(self.opts, "equilibration_type",
+                         EquilibrationType.BOTH)
+            if et == EquilibrationType.ROW:
+                dc = np.ones_like(dc)
+            elif et == EquilibrationType.COLUMN:
+                dr = np.ones_like(dr)
             if self.opts.symmetric or self.opts.positive_definite:
                 # symmetry-preserving scaling: D A D with D = sqrt(dr)
                 dr = dc = np.sqrt(dr * dc) if not np.allclose(dr, dc) else dr

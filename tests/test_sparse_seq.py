@@ -375,3 +375,36 @@ def test_hss_fronts_batched():
     x, rc = s.solve(b)
     assert rc == ReturnCode.SUCCESS
     assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+
+
+def test_equilibration_types():
+    from strumpack_tpu import EquilibrationType
+    import scipy.sparse as sp
+    rng = np.random.default_rng(9)
+    n = 80
+    D = sp.diags(10.0 ** rng.integers(-4, 4, n))
+    # row-scaled diagonally dominant matrix: solvable under any of the
+    # equilibration variants
+    S = (D @ (sp.random(n, n, density=0.1, random_state=rng)
+              + 10.0 * sp.eye(n))).tocsr()
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    A = CSRMatrix.from_scipy(S)
+    for et in (EquilibrationType.ROW, EquilibrationType.COLUMN,
+               EquilibrationType.BOTH):
+        opts = SPOptions(equilibration_type=et, rel_tol=1e-10)
+        check_solve(A, opts, seed=4)
+
+
+def test_solve_with_initial_guess():
+    A = poisson2d(15)
+    rng = np.random.default_rng(3)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    opts = SPOptions(rel_tol=1e-10, verbose=True)  # verbose -> host loop
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    import io, contextlib
+    with contextlib.redirect_stdout(io.StringIO()):
+        x, rc = s.solve(b, x0=xex + 1e-3 * rng.standard_normal(A.n))
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e-8
