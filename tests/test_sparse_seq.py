@@ -378,21 +378,22 @@ def test_hss_fronts_batched():
 
 
 def test_equilibration_types():
+    """ROW fixes row-scaled pathology, COLUMN fixes column-scaled, BOTH
+    fixes either (EquilibrationType semantics)."""
     from strumpack_tpu import EquilibrationType
     import scipy.sparse as sp
+    from strumpack_tpu.sparse.csr import CSRMatrix
     rng = np.random.default_rng(9)
     n = 80
     D = sp.diags(10.0 ** rng.integers(-4, 4, n))
-    # row-scaled diagonally dominant matrix: solvable under any of the
-    # equilibration variants
-    S = (D @ (sp.random(n, n, density=0.1, random_state=rng)
-              + 10.0 * sp.eye(n))).tocsr()
-    from strumpack_tpu.sparse.csr import CSRMatrix
-    A = CSRMatrix.from_scipy(S)
-    for et in (EquilibrationType.ROW, EquilibrationType.COLUMN,
-               EquilibrationType.BOTH):
-        # tiny-pivot replacement intentionally off: with partial scaling
-        # the sqrt(eps)*|A|_1 threshold would perturb genuine small pivots
+    M = sp.random(n, n, density=0.1, random_state=rng) + 10.0 * sp.eye(n)
+    row_bad = CSRMatrix.from_scipy((D @ M).tocsr())
+    col_bad = CSRMatrix.from_scipy((M @ D).tocsr())
+    cases = [(EquilibrationType.ROW, row_bad),
+             (EquilibrationType.COLUMN, col_bad),
+             (EquilibrationType.BOTH, row_bad),
+             (EquilibrationType.BOTH, col_bad)]
+    for et, A in cases:
         opts = SPOptions(equilibration_type=et, rel_tol=1e-10,
                          replace_tiny_pivots=False)
         check_solve(A, opts, seed=4)
