@@ -106,7 +106,10 @@ class SparseSolver:
                 else self.Ascaled.symmetrize_sparsity())
         self.Ap = Asym.permute(self.perm, self.iperm)
         from .ops.spmv import DeviceELL
-        self.ell = DeviceELL(self.Ap, dtype=np.dtype(self.opts.refine_dtype))
+        rdt = self.opts.refine_dtype
+        ell_dtype = np.float32 if rdt in ("float32x2", "df32") \
+            else np.dtype(rdt)
+        self.ell = DeviceELL(self.Ap, dtype=ell_dtype)
 
     def reorder(self, nx=None, ny=None, nz=None) -> ReturnCode:
         if self.A is None:
@@ -266,6 +269,34 @@ class SparseSolver:
         opts = self.opts
         t0 = time.perf_counter()
         bp = self._transform_b(b)
+
+        # double-float refinement: f64-quality residuals with f32-only
+        # arithmetic (TPU path to the reference's 1e-10 residual contract)
+        if (opts.refine_dtype in ("float32x2", "df32")
+                and bp.ndim == 1 and x0 is None):
+            from .ops.twofloat import df_to_f64, make_df_ir
+            key = ("dfir", opts.rel_tol, opts.abs_tol, opts.maxit,
+                   opts.matmul_precision)
+            fn = self.pdev._jit_cache.get(key)
+            if fn is None:
+                fn = make_df_ir(self.pdev, opts.rel_tol, opts.abs_tol,
+                                opts.maxit)
+                self.pdev._jit_cache[key] = fn
+            bh = jnp.asarray(bp.astype(np.float32))
+            bl = jnp.asarray((bp - bp.astype(np.float32)).astype(np.float32))
+            import jax
+            with jax.default_matmul_precision(opts.matmul_precision):
+                xh, xl, it, rel = fn(self.fac.tree, self.ell.vals,
+                                     self.ell.cols, bh, bl)
+            self.its = int(it)
+            self.achieved_rtol = float(rel)
+            x = self._transform_x(df_to_f64(xh, xl))
+            self.times["solve"] = time.perf_counter() - t0
+            rc = (ReturnCode.SUCCESS if self.its < opts.maxit
+                  or self.achieved_rtol <= opts.rel_tol
+                  else ReturnCode.NO_CONVERGENCE)
+            return x, rc
+
         rd = np.dtype(opts.refine_dtype)
 
         solver = opts.krylov_solver

@@ -412,3 +412,22 @@ def test_solve_with_initial_guess():
         x, rc = s.solve(b, x0=xex + 1e-3 * rng.standard_normal(A.n))
     assert rc == ReturnCode.SUCCESS
     assert A.max_scaled_residual(x, b) < 1e-8
+
+
+def test_double_float_refinement():
+    """f32 factor + double-float (f32x2) IR: f64-quality residual with
+    f32-only arithmetic — the TPU path to the reference's 1e-10 residual
+    contract (twofloat.py)."""
+    A = poisson2d(25)
+    opts = SPOptions(factor_dtype="float32", refine_dtype="float32x2",
+                     rel_tol=1e-12, abs_tol=1e-13)
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    res = A.max_scaled_residual(x, b)
+    assert res < 1e-11, res
+    assert s.Krylov_iterations() <= 5
