@@ -58,6 +58,10 @@ class BucketDev:
             sep_glob=bp.sep_glob,
             upd_glob=bp.upd_glob,
         )
+        if bp.hss_sample:
+            self.host_arrays.update(
+                {k: i32(v) if v.dtype == np.int64 else v
+                 for k, v in bp.samp.items()})
 
 
 class PlanDev:
@@ -179,6 +183,73 @@ def _hss_front_bucket(F, bp, hss_tol, dtype):
     return jax.vmap(one)(F)
 
 
+def _hss_sample_front(bp, a, vals_ext, cb_flat, hss_tol, dtype, seed):
+    """Sampling-constructed HSS root front (FrontHSS::random_sampling,
+    FrontHSS.cpp:241, + element_extraction): F11 = A(sep,sep) + sum_c E
+    CB_c E^T is never assembled.  The HSS form is built from
+
+    * a matvec closure = ELL spmv on the sparse block (the reference's
+      ``A.front_multiply`` role, CSRMatrix.hpp:116-160) + dense products
+      with the children's contribution blocks gathered straight out of the
+      previous level's flat CB buffer (the ``sample_CB`` role), and
+    * an element-extraction closure = ELL lookup + CB entry gathers
+      (the D/B-generator extraction role),
+
+    then ULV-factored.  Removes the O(sep^2) dense assembly and O(sep^3)
+    LU of the root separator."""
+    meta = bp.samp_meta
+    ds = meta["ds"]
+
+    sides = []
+    for side in ("L", "R"):
+        if meta["has" + side]:
+            off, stride = meta["off" + side], meta["stride" + side]
+            CBc = cb_flat[off:off + stride * stride].reshape(stride, stride)
+            sides.append((a["samp_pos" + side], CBc))
+
+    def mult(X, trans):
+        if trans:
+            cols, vidx = a["samp_ellT_cols"], a["samp_ellT_vidx"]
+        else:
+            cols, vidx = a["samp_ell_cols"], a["samp_ell_vidx"]
+        vals = vals_ext[vidx]
+        if trans:
+            vals = vals.conj()
+        y = jnp.einsum("ik,ikd->id", vals, X[cols],
+                       preferred_element_type=X.dtype)
+        for pos, CBc in sides:
+            stride = CBc.shape[0]
+            safe = jnp.where(pos >= 0, pos, stride)
+            z = jnp.zeros((stride + 1, X.shape[1]), X.dtype).at[safe].set(X)
+            M = CBc.conj().T if trans else CBc
+            w = jnp.matmul(M, z[:stride], preferred_element_type=X.dtype)
+            y = y + jnp.where(pos[:, None] >= 0, w[jnp.clip(pos, 0)],
+                              jnp.zeros((), X.dtype))
+        return y
+
+    def elem(I, J):
+        I2, J2 = jnp.broadcast_arrays(I, J)
+        Ic = jnp.clip(I2, 0, ds - 1)
+        Jc = jnp.clip(J2, 0, ds - 1)
+        cols = a["samp_ell_cols"][Ic]
+        vals = vals_ext[a["samp_ell_vidx"][Ic]]
+        out = jnp.sum(vals * (cols == J2[..., None]), axis=-1)
+        for pos, CBc in sides:
+            pi = pos[Ic]
+            pj = pos[Jc]
+            ok = (pi >= 0) & (pj >= 0)
+            cbv = CBc[jnp.clip(pi, 0), jnp.clip(pj, 0)]
+            out = out + jnp.where(ok, cbv, jnp.zeros((), cbv.dtype))
+        return out.astype(dtype)
+
+    from ..structured.hss_sample import hss_from_sampling
+    H = hss_from_sampling(mult, elem, ds, leaf_size=bp.hss_leaf,
+                          max_rank=bp.hss_rank, oversample=16,
+                          rel_tol=hss_tol, dtype=dtype, seed=seed)
+    H.factor()
+    return H
+
+
 def _hss_solve_fwd(bp, entry, bloc, dtype):
     H, S12, F21 = entry
     sH = bp.s_pad
@@ -202,6 +273,57 @@ def _ext_add_vec(v, cbv_flat, pos, voff):
 # whole-phase programs
 # ---------------------------------------------------------------------------
 
+def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_flat, thresh, tol,
+                        spd, hss_tol, out):
+    """Assemble + partially factor one bucket; records factors in ``out``
+    and returns the bucket's flattened CB (the shared body of the whole-
+    program and split-program factor paths)."""
+    bp = bd.bp
+    dtype = vals_ext.dtype
+    key = f"{li},{bi}"
+    if bp.hss_sample:
+        H = _hss_sample_front(bp, a, vals_ext, cb_flat, hss_tol, dtype,
+                              seed=li * 131 + bi)
+        out["hss"][key] = (H, None, None)
+        return jnp.zeros((0,), dtype)
+    F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
+    F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
+        vals_ext[a["asm_vidx"]])
+    if bd.has_L:
+        F = _extend_add(F, cb_flat, a["posL"], a["offL"], a["strideL"])
+    if bd.has_R:
+        F = _extend_add(F, cb_flat, a["posR"], a["offR"], a["strideR"])
+    if bp.blr:
+        from . import blr as B
+        t = bp.tile
+        nt, nts = bp.p // t, bp.s_pad // t
+        lud, perms, Uu, Vu, Ul, Vl, CB, rk = B.blr_factor_bucket(
+            F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
+        out["blr"][key] = (lud, perms, Uu, Vu, Ul, Vl)
+        out["blr_ranks"][key] = rk
+    elif bp.hss or bp.hodlr:
+        # HSS/HODLR fronts (FrontHSS / FrontHODLR roles), batched via
+        # vmap: compress + factor F11 (ULV / SMW), explicit Schur
+        # S12 = F11^-1 F12, CB = F22 - F21 S12.
+        H, S12, F21, CB = _hss_front_bucket(F, bp, hss_tol, dtype)
+        out["hss"][key] = (H, S12, F21)
+    elif spd:
+        L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
+        out["lu"][key] = L
+        out["L21"][key] = L21
+    else:
+        lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
+        if bp.lossy:
+            lu = _quantize(lu, bp.lossy)
+            L21 = _quantize(L21, bp.lossy)
+            U12 = _quantize(U12, bp.lossy)
+        out["lu"][key] = lu
+        out["perm"][key] = perm
+        out["L21"][key] = L21
+        out["U12"][key] = U12
+    return CB.reshape(-1)
+
+
 def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
                  hss_tol=1e-4):
     dtype = Avals.dtype
@@ -213,50 +335,97 @@ def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
     for li, level in enumerate(pdev.levels):
         cb_parts = []
         for bi, bd in enumerate(level):
-            bp = bd.bp
-            a = arrays[f"{li},{bi}"]
-            F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
-            F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
-                vals_ext[a["asm_vidx"]])
-            if bd.has_L:
-                F = _extend_add(F, cb_flat, a["posL"], a["offL"],
-                                a["strideL"])
-            if bd.has_R:
-                F = _extend_add(F, cb_flat, a["posR"], a["offR"],
-                                a["strideR"])
-            if bp.blr:
-                from . import blr as B
-                t = bp.tile
-                nt, nts = bp.p // t, bp.s_pad // t
-                lud, perms, Uu, Vu, Ul, Vl, CB, rk = B.blr_factor_bucket(
-                    F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
-                out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
-                out["blr_ranks"][f"{li},{bi}"] = rk
-            elif bp.hss or bp.hodlr:
-                # HSS/HODLR fronts (FrontHSS / FrontHODLR roles), batched
-                # via vmap: compress + factor F11 (ULV / SMW), explicit
-                # Schur S12 = F11^-1 F12, CB = F22 - F21 S12.
-                H, S12, F21, CB = _hss_front_bucket(
-                    F, bp, hss_tol, dtype)
-                out["hss"][f"{li},{bi}"] = (H, S12, F21)
-            elif spd:
-                L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
-                out["lu"][f"{li},{bi}"] = L
-                out["L21"][f"{li},{bi}"] = L21
-            else:
-                lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
-                if bp.lossy:
-                    lu = _quantize(lu, bp.lossy)
-                    L21 = _quantize(L21, bp.lossy)
-                    U12 = _quantize(U12, bp.lossy)
-                out["lu"][f"{li},{bi}"] = lu
-                out["perm"][f"{li},{bi}"] = perm
-                out["L21"][f"{li},{bi}"] = L21
-                out["U12"][f"{li},{bi}"] = U12
-            cb_parts.append(CB.reshape(-1))
+            cb_parts.append(_bucket_factor_step(
+                li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_flat,
+                thresh, tol, spd, hss_tol, out))
         cb_flat = (jnp.concatenate(cb_parts) if cb_parts
                    else jnp.zeros((0,), dtype=dtype))
     return out
+
+
+def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_flat):
+    """Forward-solve one bucket: gather rhs + children's solve CBs, apply
+    the front's lower factor.  Returns (y, cbv)."""
+    bp = bd.bp
+    key = f"{li},{bi}"
+    dtype = bext.dtype
+    nrhs = bext.shape[1]
+    bloc = jnp.concatenate(
+        [bext[a["sep_glob"]],
+         jnp.zeros((bp.nf, bp.u_pad, nrhs), dtype)], axis=1)
+    if bd.has_L:
+        bloc = _ext_add_vec(bloc, cbv_flat, a["posL"], a["voffL"])
+    if bd.has_R:
+        bloc = _ext_add_vec(bloc, cbv_flat, a["posR"], a["voffR"])
+    if bp.hss_sample:
+        H, _, _ = fac_tree["hss"][key]
+        ds = bp.samp_meta["ds"]
+        y = jnp.zeros((bp.nf, bp.s_pad, nrhs), dtype).at[0, :ds].set(
+            H.solve(bloc[0, :ds]))
+        cbv = bloc[:, bp.s_pad:]
+    elif bp.blr:
+        from . import blr as B
+        lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
+        t = bp.tile
+        y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
+                                  nts=bp.s_pad // t, nt=bp.p // t)
+    elif bp.hss or bp.hodlr:
+        y, cbv = _hss_solve_fwd(bp, fac_tree["hss"][key], bloc, dtype)
+    elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
+        s = bp.s_pad
+        L = fac_tree["lu"][key]
+        L21 = fac_tree["L21"][key]
+        y = jax.lax.linalg.triangular_solve(
+            L, bloc[:, :s], left_side=True, lower=True)
+        cbv = bloc[:, s:] - jnp.matmul(L21, y, preferred_element_type=dtype)
+    else:
+        s = bp.s_pad
+        lu = _dequantize(fac_tree["lu"][key], dtype)
+        perm = fac_tree["perm"][key]
+        L21 = _dequantize(fac_tree["L21"][key], dtype)
+        bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
+        y = jax.lax.linalg.triangular_solve(
+            lu, bsep, left_side=True, lower=True, unit_diagonal=True)
+        cbv = bloc[:, s:] - jnp.matmul(L21, y, preferred_element_type=dtype)
+    return y, cbv.reshape(-1, nrhs)
+
+
+def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
+    """Backward-solve one bucket: apply the upper factor given the already
+    solved ancestor values; scatters x_sep into xext and returns it."""
+    bp = bd.bp
+    key = f"{li},{bi}"
+    dtype = xext.dtype
+    nrhs = xext.shape[1]
+    n = xext.shape[0] - 1
+    xupd = xext[a["upd_glob"]]
+    if bp.hss_sample:
+        xsep = y
+    elif bp.blr:
+        from . import blr as B
+        lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
+        t = bp.tile
+        xsep = B.blr_bwd_bucket(lud, Uu, Vu, y, xupd, t=t,
+                                nts=bp.s_pad // t, nt=bp.p // t)
+    elif bp.hss or bp.hodlr:
+        H, S12, F21 = fac_tree["hss"][key]
+        xsep = y - jnp.matmul(S12, xupd, preferred_element_type=dtype)
+    elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
+        L = fac_tree["lu"][key]
+        L21 = fac_tree["L21"][key]
+        z = y - jnp.matmul(L21.conj().transpose(0, 2, 1), xupd,
+                           preferred_element_type=dtype)
+        xsep = jax.lax.linalg.triangular_solve(
+            L, z, left_side=True, lower=True, transpose_a=True,
+            conjugate_a=True)
+    else:
+        lu = _dequantize(fac_tree["lu"][key], dtype)
+        U12 = _dequantize(fac_tree["U12"][key], dtype)
+        z = y - jnp.matmul(U12, xupd, preferred_element_type=dtype)
+        xsep = jax.lax.linalg.triangular_solve(
+            lu, z, left_side=True, lower=False)
+    xext = xext.at[a["sep_glob"].reshape(-1)].set(xsep.reshape(-1, nrhs))
+    return xext.at[n].set(jnp.zeros((nrhs,), dtype))
 
 
 def _solve_impl(pdev, arrays, fac_tree, b):
@@ -272,84 +441,18 @@ def _solve_impl(pdev, arrays, fac_tree, b):
     for li, level in enumerate(pdev.levels):
         parts = []
         for bi, bd in enumerate(level):
-            bp = bd.bp
-            a = arrays[f"{li},{bi}"]
-            key = f"{li},{bi}"
-            bloc = jnp.concatenate(
-                [bext[a["sep_glob"]],
-                 jnp.zeros((bp.nf, bp.u_pad, nrhs), dtype)], axis=1)
-            if bd.has_L:
-                bloc = _ext_add_vec(bloc, cbv_flat, a["posL"], a["voffL"])
-            if bd.has_R:
-                bloc = _ext_add_vec(bloc, cbv_flat, a["posR"], a["voffR"])
-            if bp.blr:
-                from . import blr as B
-                lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
-                t = bp.tile
-                y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
-                                          nts=bp.s_pad // t, nt=bp.p // t)
-            elif bp.hss or bp.hodlr:
-                y, cbv = _hss_solve_fwd(bp, fac_tree["hss"][key], bloc,
-                                        dtype)
-            elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
-                s = bp.s_pad
-                L = fac_tree["lu"][key]
-                L21 = fac_tree["L21"][key]
-                y = jax.lax.linalg.triangular_solve(
-                    L, bloc[:, :s], left_side=True, lower=True)
-                cbv = bloc[:, s:] - jnp.matmul(
-                    L21, y, preferred_element_type=dtype)
-            else:
-                s = bp.s_pad
-                lu = _dequantize(fac_tree["lu"][key], dtype)
-                perm = fac_tree["perm"][key]
-                L21 = _dequantize(fac_tree["L21"][key], dtype)
-                bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
-                y = jax.lax.linalg.triangular_solve(
-                    lu, bsep, left_side=True, lower=True, unit_diagonal=True)
-                cbv = bloc[:, s:] - jnp.matmul(
-                    L21, y, preferred_element_type=dtype)
-            ys[key] = y
-            parts.append(cbv.reshape(-1, nrhs))
+            y, cbv = _bucket_fwd_step(li, bi, bd, arrays[f"{li},{bi}"],
+                                      fac_tree, bext, cbv_flat)
+            ys[f"{li},{bi}"] = y
+            parts.append(cbv)
         cbv_flat = (jnp.concatenate(parts) if parts
                     else jnp.zeros((0, nrhs), dtype))
 
     xext = jnp.zeros((n + 1, nrhs), dtype=dtype)
     for li in range(len(pdev.levels) - 1, -1, -1):
         for bi, bd in enumerate(pdev.levels[li]):
-            bp = bd.bp
-            a = arrays[f"{li},{bi}"]
-            key = f"{li},{bi}"
-            xupd = xext[a["upd_glob"]]
-            if bp.blr:
-                from . import blr as B
-                lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
-                t = bp.tile
-                xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[key], xupd, t=t,
-                                        nts=bp.s_pad // t, nt=bp.p // t)
-            elif bp.hss or bp.hodlr:
-                H, S12, F21 = fac_tree["hss"][key]
-                xsep = ys[key] - jnp.matmul(
-                    S12, xupd, preferred_element_type=dtype)
-            elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
-                L = fac_tree["lu"][key]
-                L21 = fac_tree["L21"][key]
-                z = ys[key] - jnp.matmul(
-                    L21.conj().transpose(0, 2, 1), xupd,
-                    preferred_element_type=dtype)
-                xsep = jax.lax.linalg.triangular_solve(
-                    L, z, left_side=True, lower=True, transpose_a=True,
-                    conjugate_a=True)
-            else:
-                lu = _dequantize(fac_tree["lu"][key], dtype)
-                U12 = _dequantize(fac_tree["U12"][key], dtype)
-                z = ys[key] - jnp.matmul(U12, xupd,
-                                         preferred_element_type=dtype)
-                xsep = jax.lax.linalg.triangular_solve(
-                    lu, z, left_side=True, lower=False)
-            xext = xext.at[a["sep_glob"].reshape(-1)].set(
-                xsep.reshape(-1, nrhs))
-            xext = xext.at[n].set(jnp.zeros((nrhs,), dtype))
+            xext = _bucket_bwd_step(li, bi, bd, arrays[f"{li},{bi}"],
+                                    fac_tree, ys[f"{li},{bi}"], xext)
     return xext[:n]
 
 
@@ -442,41 +545,9 @@ def _factor_level(pdev, li, spd, hss_tol, arrays, vals_ext, cb_flat,
            "blr_ranks": {}, "hss": {}}
     cb_parts = []
     for bi, bd in enumerate(pdev.levels[li]):
-        bp = bd.bp
-        a = arrays[f"{li},{bi}"]
-        F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
-        F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
-            vals_ext[a["asm_vidx"]])
-        if bd.has_L:
-            F = _extend_add(F, cb_flat, a["posL"], a["offL"], a["strideL"])
-        if bd.has_R:
-            F = _extend_add(F, cb_flat, a["posR"], a["offR"], a["strideR"])
-        if bp.blr:
-            from . import blr as B
-            t = bp.tile
-            nt, nts = bp.p // t, bp.s_pad // t
-            lud, perms, Uu, Vu, Ul, Vl, CB, rk = B.blr_factor_bucket(
-                F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
-            out["blr"][f"{li},{bi}"] = (lud, perms, Uu, Vu, Ul, Vl)
-            out["blr_ranks"][f"{li},{bi}"] = rk
-        elif bp.hss or bp.hodlr:
-            H, S12, F21, CB = _hss_front_bucket(F, bp, hss_tol, dtype)
-            out["hss"][f"{li},{bi}"] = (H, S12, F21)
-        elif spd:
-            L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
-            out["lu"][f"{li},{bi}"] = L
-            out["L21"][f"{li},{bi}"] = L21
-        else:
-            lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
-            if bp.lossy:
-                lu = _quantize(lu, bp.lossy)
-                L21 = _quantize(L21, bp.lossy)
-                U12 = _quantize(U12, bp.lossy)
-            out["lu"][f"{li},{bi}"] = lu
-            out["perm"][f"{li},{bi}"] = perm
-            out["L21"][f"{li},{bi}"] = L21
-            out["U12"][f"{li},{bi}"] = U12
-        cb_parts.append(CB.reshape(-1))
+        cb_parts.append(_bucket_factor_step(
+            li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_flat,
+            thresh, tol, spd, hss_tol, out))
     cb_flat = (jnp.concatenate(cb_parts) if cb_parts
                else jnp.zeros((0,), dtype=dtype))
     return out, cb_flat
@@ -537,87 +608,19 @@ def _solve_fwd_level(pdev, li, arrays, fac_tree, bext, cbv_flat):
     ys = []
     parts = []
     for bi, bd in enumerate(pdev.levels[li]):
-        bp = bd.bp
-        a = arrays[f"{li},{bi}"]
-        key = f"{li},{bi}"
-        bloc = jnp.concatenate(
-            [bext[a["sep_glob"]],
-             jnp.zeros((bp.nf, bp.u_pad, nrhs), dtype)], axis=1)
-        if bd.has_L:
-            bloc = _ext_add_vec(bloc, cbv_flat, a["posL"], a["voffL"])
-        if bd.has_R:
-            bloc = _ext_add_vec(bloc, cbv_flat, a["posR"], a["voffR"])
-        if bp.blr:
-            from . import blr as B
-            lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
-            t = bp.tile
-            y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
-                                      nts=bp.s_pad // t, nt=bp.p // t)
-        elif bp.hss or bp.hodlr:
-            y, cbv = _hss_solve_fwd(bp, fac_tree["hss"][key], bloc, dtype)
-        elif key not in fac_tree["perm"]:
-            s = bp.s_pad
-            L = fac_tree["lu"][key]
-            L21 = fac_tree["L21"][key]
-            y = jax.lax.linalg.triangular_solve(
-                L, bloc[:, :s], left_side=True, lower=True)
-            cbv = bloc[:, s:] - jnp.matmul(L21, y,
-                                           preferred_element_type=dtype)
-        else:
-            s = bp.s_pad
-            lu = _dequantize(fac_tree["lu"][key], dtype)
-            perm = fac_tree["perm"][key]
-            L21 = _dequantize(fac_tree["L21"][key], dtype)
-            bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
-            y = jax.lax.linalg.triangular_solve(
-                lu, bsep, left_side=True, lower=True, unit_diagonal=True)
-            cbv = bloc[:, s:] - jnp.matmul(L21, y,
-                                           preferred_element_type=dtype)
+        y, cbv = _bucket_fwd_step(li, bi, bd, arrays[f"{li},{bi}"],
+                                  fac_tree, bext, cbv_flat)
         ys.append(y)
-        parts.append(cbv.reshape(-1, nrhs))
+        parts.append(cbv)
     cbv_flat = (jnp.concatenate(parts) if parts
                 else jnp.zeros((0, nrhs), dtype))
     return ys, cbv_flat
 
 
 def _solve_bwd_level(pdev, li, arrays, fac_tree, ys, xext):
-    dtype = xext.dtype
-    nrhs = xext.shape[1]
-    n = pdev.plan.n
     for bi, bd in enumerate(pdev.levels[li]):
-        bp = bd.bp
-        a = arrays[f"{li},{bi}"]
-        key = f"{li},{bi}"
-        xupd = xext[a["upd_glob"]]
-        if bp.blr:
-            from . import blr as B
-            lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
-            t = bp.tile
-            xsep = B.blr_bwd_bucket(lud, Uu, Vu, ys[bi], xupd, t=t,
-                                    nts=bp.s_pad // t, nt=bp.p // t)
-        elif bp.hss or bp.hodlr:
-            H, S12, F21 = fac_tree["hss"][key]
-            xsep = ys[bi] - jnp.matmul(
-                S12, xupd, preferred_element_type=dtype)
-        elif key not in fac_tree["perm"]:
-            L = fac_tree["lu"][key]
-            L21 = fac_tree["L21"][key]
-            z = ys[bi] - jnp.matmul(
-                L21.conj().transpose(0, 2, 1), xupd,
-                preferred_element_type=dtype)
-            xsep = jax.lax.linalg.triangular_solve(
-                L, z, left_side=True, lower=True, transpose_a=True,
-                conjugate_a=True)
-        else:
-            lu = _dequantize(fac_tree["lu"][key], dtype)
-            U12 = _dequantize(fac_tree["U12"][key], dtype)
-            z = ys[bi] - jnp.matmul(U12, xupd,
-                                    preferred_element_type=dtype)
-            xsep = jax.lax.linalg.triangular_solve(
-                lu, z, left_side=True, lower=False)
-        xext = xext.at[a["sep_glob"].reshape(-1)].set(
-            xsep.reshape(-1, nrhs))
-        xext = xext.at[n].set(jnp.zeros((nrhs,), dtype))
+        xext = _bucket_bwd_step(li, bi, bd, arrays[f"{li},{bi}"],
+                                fac_tree, ys[bi], xext)
     return xext
 
 

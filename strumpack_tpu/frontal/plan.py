@@ -39,6 +39,26 @@ _PAD_SCHEDULE = [0, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
                  24576, 32768]
 
 
+def _build_ell(r, c, vidx_in, nrows, nnz_pad):
+    """Pack COO (r, c, vidx) into padded ELL [nrows, kmax]: (cols, vidx)
+    with padding slots pointing at the zero value (vals_ext[nnz_pad])."""
+    if len(r) == 0:
+        return (np.zeros((nrows, 1), np.int32),
+                np.full((nrows, 1), nnz_pad, np.int64))
+    order = np.lexsort((c, r))
+    r, c, v = r[order], c[order], vidx_in[order]
+    counts = np.bincount(r, minlength=nrows)
+    kmax = max(int(counts.max()), 1)
+    off = np.zeros(nrows + 1, np.int64)
+    np.cumsum(counts, out=off[1:])
+    k = np.arange(len(r)) - off[r]
+    cols = np.zeros((nrows, kmax), np.int32)
+    vidx = np.full((nrows, kmax), nnz_pad, np.int64)
+    cols[r, k] = c
+    vidx[r, k] = v
+    return cols, vidx
+
+
 def pad_size(x: int) -> int:
     for p in _PAD_SCHEDULE:
         if p >= x:
@@ -92,6 +112,12 @@ class BucketPlan:
     hodlr: bool = False
     hss_leaf: int = 0
     hss_rank: int = 0
+    # sampling-constructed HSS root front (FrontHSS::random_sampling role,
+    # FrontHSS.cpp:241): never assembles the dense front; mult/elem closures
+    # read the sparse block (ELL) + the children's CBs directly
+    hss_sample: bool = False
+    samp: dict = None            # device index arrays (ELL + CB pos maps)
+    samp_meta: dict = None       # static ints: ds, off/stride/has per child
 
     @property
     def nf(self) -> int:
@@ -218,7 +244,11 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                                                   CompressionType.HODLR)
                         and sp >= compression.compression_min_sep_size):
                     if compression.compression == CompressionType.HSS:
-                        bp.hss = True
+                        if (getattr(compression.hss, "sampling", False)
+                                and up == 0 and nfr == 1):
+                            bp.hss_sample = True
+                        else:
+                            bp.hss = True
                     else:
                         bp.hodlr = True
                     bp.hss_leaf = min(compression.hss.leaf_size, max(sp // 4, 16))
@@ -286,6 +316,34 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
         ebkt = bucket_id_of[eo]
         for bi_b, bp in enumerate(level_buckets):
             m = keep & (ebkt == bi_b)
+            if bp.hss_sample:
+                # sampling front: no dense assembly — store the sparse block
+                # as ELL (rows of A11 in local sep indexing, value indices
+                # into vals_ext so update_matrix_values reuses the plan) and
+                # the CB position maps as static metadata.
+                f = int(bp.fronts[0])
+                ds0 = int(bp.ds[0])
+                sb0 = int(tree.sep_begin[f])
+                rr = (er[m] - sb0).astype(np.int64)
+                cc = (ec[m] - sb0).astype(np.int64)
+                vv = ev[m]
+                cols, vidx = _build_ell(rr, cc, vv, ds0, nnz)
+                colsT, vidxT = _build_ell(cc, rr, vv, ds0, nnz)
+                bp.samp = dict(
+                    samp_ell_cols=cols, samp_ell_vidx=vidx,
+                    samp_ellT_cols=colsT, samp_ellT_vidx=vidxT,
+                    samp_posL=bp.posL[0, :ds0].astype(np.int32),
+                    samp_posR=bp.posR[0, :ds0].astype(np.int32))
+                bp.samp_meta = dict(
+                    ds=ds0,
+                    hasL=bool(tree.lch[f] >= 0),
+                    hasR=bool(tree.rch[f] >= 0),
+                    offL=int(bp.offL[0]), strideL=int(bp.strideL[0]),
+                    offR=int(bp.offR[0]), strideR=int(bp.strideR[0]))
+                z32 = np.zeros(0, dtype=np.int32)
+                bp.asm_bidx = bp.asm_r = bp.asm_c = z32
+                bp.asm_vidx = np.zeros(0, dtype=np.int64)
+                continue
             bidx = batch_of[eo[m]]
             vidx = ev[m]
             # identity padding of F11: diagonal ones on slots [ds, s_pad)

@@ -80,6 +80,10 @@ class HSSOptions:
     d0: int = 128
     dd: int = 64
     max_rank: int = 5000
+    # construct root HSS fronts by randomized sampling of the front action
+    # (sparse spmv + child-CB products) instead of dense assembly — the
+    # reference's FrontHSS::random_sampling path (FrontHSS.cpp:241)
+    sampling: bool = False
 
 
 @dataclass
@@ -154,7 +158,9 @@ class SPOptions:
         out.write("# BLR options (--blr_*): leaf_size, max_rank, rel_tol, "
                   "abs_tol\n")
         out.write("# HSS options (--hss_*): leaf_size, d0, dd, max_rank, "
-                  "rel_tol, abs_tol\n")
+                  "rel_tol, abs_tol,\n"
+                  "#   --hss_enable/disable_sampling (randomized-sampling "
+                  "root fronts, no dense assembly)\n")
         return out.getvalue()
 
     def set_from_command_line(self, argv) -> list:
@@ -205,6 +211,10 @@ class SPOptions:
             "sp_enable_positive_definite": ("positive_definite", True),
             "sp_disable_positive_definite": ("positive_definite", False),
         }
+        hss_bool = {
+            "hss_enable_sampling": True,
+            "hss_disable_sampling": False,
+        }
 
         def setval(spec, val):
             if isinstance(spec, tuple):
@@ -229,6 +239,8 @@ class SPOptions:
             if name in bool_flags:
                 attr, v = bool_flags[name]
                 setattr(self, attr, v)
+            elif name in hss_bool:
+                self.hss.sampling = hss_bool[name]
             elif name in enum_map:
                 attr, E = enum_map[name]
                 if val is None:

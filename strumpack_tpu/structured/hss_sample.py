@@ -46,7 +46,7 @@ def _id_rows(F, tol, r):
     def body(step, st):
         res, Jloc, sn = st
         rn = jnp.linalg.norm(res, axis=-1)            # [N, k]
-        i = jnp.argmax(rn, axis=-1)                   # [N]
+        i = jnp.argmax(rn, axis=-1).astype(jnp.int32)  # [N]
         Jloc = Jloc.at[:, step].set(i)
         sn = sn.at[:, step].set(
             jnp.take_along_axis(rn, i[:, None], 1)[:, 0])

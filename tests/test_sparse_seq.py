@@ -299,6 +299,57 @@ def test_hss_fronts():
     assert s.Krylov_iterations() < 30
 
 
+def test_hss_sampling_root_front():
+    """Sampling-constructed HSS root front (FrontHSS::random_sampling role,
+    FrontHSS.cpp:241): the root separator block is compressed from matvec
+    samples (ELL spmv + child-CB products) + element extraction, never
+    assembled dense."""
+    from strumpack_tpu import CompressionType
+    A = poisson2d(40)
+    opts = SPOptions(compression=CompressionType.HSS,
+                     compression_min_sep_size=32, rel_tol=1e-6)
+    opts.hss.rel_tol = 1e-8
+    opts.hss.leaf_size = 16
+    opts.hss.max_rank = 16
+    opts.hss.sampling = True
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(40, 40)
+    nsamp = sum(1 for lvl in s.plan.levels for bp in lvl if bp.hss_sample)
+    assert nsamp == 1, "root front not selected for sampling construction"
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+    assert s.Krylov_iterations() < 30
+
+
+def test_hss_sampling_with_scaling():
+    """Sampling root front composed with matching + equilibration (the ELL
+    value indices must point at the permuted+scaled values array)."""
+    from strumpack_tpu import CompressionType, MatchingJob
+    A = poisson2d(32)
+    opts = SPOptions(compression=CompressionType.HSS,
+                     compression_min_sep_size=32, rel_tol=1e-6,
+                     matching=MatchingJob.MAX_DIAGONAL_PRODUCT_SCALING)
+    opts.hss.rel_tol = 1e-8
+    opts.hss.leaf_size = 16
+    opts.hss.max_rank = 16
+    opts.hss.sampling = True
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(32, 32)
+    assert sum(1 for lvl in s.plan.levels for bp in lvl if bp.hss_sample) == 1
+    rng = np.random.default_rng(1)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+
+
 def test_hodlr_fronts():
     """HODLR-compressed root fronts (FrontHODLR role)."""
     from strumpack_tpu import CompressionType
