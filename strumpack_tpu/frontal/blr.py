@@ -62,8 +62,8 @@ def _compress_tiles(T, tol, r, algo="aca"):
     return U, V, ranks
 
 
-@partial(jax.jit, static_argnames=("t", "r", "nts", "nt"))
-def blr_factor_bucket(F, thresh, tol, t, r, nts, nt):
+@partial(jax.jit, static_argnames=("t", "r", "nts", "nt", "adm_band"))
+def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
     """Batched BLR partial factorization of [nf, p, p] fronts.
 
     Tiles: nt x nt of size t (p = nt*t); the leading nts tiles are the
@@ -71,22 +71,32 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt):
       lud   [nf, nts, t, t]      packed tile LU factors (diagonal tiles)
       perm  [nf, nts, t]         per-tile row permutations
       Uu,Vu [nf, nts, nt, t|r..] compressed U-side tiles (block rows,
-                                 cols j>k; j<=k slots are zero)
+                                 cols j>k+adm_band; other slots are zero)
       Ul,Vl [nf, nts, nt, ...]   compressed L-side tiles (block cols)
+      Du,Dl [nf, nts, t, t]      dense band tiles at distance 1 from the
+                                 diagonal (strong admissibility,
+                                 BLROptions.hpp:62; empty when adm_band=0)
       CB    [nf, u, u]           dense Schur complement
       ranks [nf, nts, nt, 2]     actual tile ranks (stats)
+
+    ``adm_band=0`` is weak admissibility (every off-diagonal tile of an
+    eliminated block row/col is compressed); ``adm_band=1`` is strong
+    admissibility: the tiles adjacent to the diagonal stay dense.
     """
     nf, p, _ = F.shape
     dt = F.dtype
     tiles = F.reshape(nf, nt, t, nt, t).transpose(0, 1, 3, 2, 4)
     # [nf, nt(row), nt(col), t, t]
 
+    band = adm_band if nt > 1 else 0
     lud = jnp.zeros((nf, nts, t, t), dt)
     perms = jnp.zeros((nf, nts, t), jnp.int32)
     Uu = jnp.zeros((nf, nts, nt, t, r), dt)
     Vu = jnp.zeros((nf, nts, nt, r, t), dt)
     Ul = jnp.zeros((nf, nts, nt, t, r), dt)
     Vl = jnp.zeros((nf, nts, nt, r, t), dt)
+    Du = jnp.zeros((nf, nts, t, t) if band else (nf, nts, 0, 0), dt)
+    Dl = jnp.zeros_like(Du)
     rk = jnp.zeros((nf, nts, nt, 2), jnp.int32)
 
     col_ids = jnp.arange(nt)
@@ -115,10 +125,10 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt):
         Z = jax.lax.linalg.triangular_solve(
             lub, colk, left_side=False, lower=False)
 
-        # compress the eliminated block row/col tiles (j > k)
+        # compress the eliminated block row/col tiles (j > k + band)
         Uw, Vw, rw = _compress_tiles(W, tol, r)
         Uz, Vz, rz = _compress_tiles(Z, tol, r)
-        maskj = (col_ids > k)[None, :, None, None]
+        maskj = (col_ids > k + band)[None, :, None, None]
         Uw = jnp.where(maskj, Uw, 0.0)
         Vw = jnp.where(maskj, Vw, 0.0)
         Uz = jnp.where(maskj, Uz, 0.0)
@@ -127,8 +137,10 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt):
         Vu = Vu.at[:, k].set(Vw)
         Ul = Ul.at[:, k].set(Uz)
         Vl = Vl.at[:, k].set(Vz)
-        rk = rk.at[:, k, :, 0].set(jnp.where(col_ids[None] > k, rw, 0).astype(jnp.int32))
-        rk = rk.at[:, k, :, 1].set(jnp.where(col_ids[None] > k, rz, 0).astype(jnp.int32))
+        rk = rk.at[:, k, :, 0].set(
+            jnp.where(col_ids[None] > k + band, rw, 0).astype(jnp.int32))
+        rk = rk.at[:, k, :, 1].set(
+            jnp.where(col_ids[None] > k + band, rz, 0).astype(jnp.int32))
 
         # trailing update: A[i,j] -= Z_i W_j = Uz_i (Vz_i Uw_j) Vw_j
         # [nf, i, r, t] x [nf, j, t, r] -> middle [nf, i, j, r, r]
@@ -137,19 +149,45 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt):
         upd = jnp.einsum("fita,fijab,fjbs->fijts", Uz, mid, Vw,
                          preferred_element_type=dt)
         tiles = tiles - upd
+
+        if band and k + 1 < nt:
+            # strong admissibility: the distance-1 tiles stay dense; their
+            # trailing-update contributions (zeroed out of the compressed
+            # product above) are applied densely.
+            Wd = W[:, k + 1]   # [nf, t, t]
+            Zd = Z[:, k + 1]
+            Du = Du.at[:, k].set(Wd)
+            Dl = Dl.at[:, k].set(Zd)
+            # column k+1, rows i > k+1 (compressed Z_i against dense Wd)
+            vzw = jnp.einsum("fiab,fbs->fias", Vz, Wd,
+                             preferred_element_type=dt)
+            updc = jnp.einsum("fita,fias->fits", Uz, vzw,
+                              preferred_element_type=dt)
+            tiles = tiles.at[:, :, k + 1].add(-updc)
+            # row k+1, cols j > k+1 (dense Zd against compressed W_j)
+            zu = jnp.einsum("fta,fjar->fjtr", Zd, Uw,
+                            preferred_element_type=dt)
+            updr = jnp.einsum("fjtr,fjrs->fjts", zu, Vw,
+                              preferred_element_type=dt)
+            tiles = tiles.at[:, k + 1, :].add(-updr)
+            # the (k+1, k+1) corner: dense x dense
+            tiles = tiles.at[:, k + 1, k + 1].add(
+                -jnp.matmul(Zd, Wd, preferred_element_type=dt))
     CB = tiles[:, nts:, nts:].transpose(0, 1, 3, 2, 4).reshape(
         nf, (nt - nts) * t, (nt - nts) * t)
-    return lud, perms, Uu, Vu, Ul, Vl, CB, rk
+    return lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk
 
 
-@partial(jax.jit, static_argnames=("t", "nts", "nt"))
-def blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t, nts, nt):
+@partial(jax.jit, static_argnames=("t", "nts", "nt", "adm_band"))
+def blr_fwd_bucket(lud, perms, Ul, Vl, Dl, bloc, t, nts, nt, adm_band=0):
     """Forward solve with BLR factors: y_k = Lkk^-1 P_k (b_k - updates);
-    then subtract column-k low-rank contributions from rows below.
+    then subtract column-k low-rank contributions from rows below (plus
+    the dense band tile under strong admissibility).
     bloc: [nf, p, nrhs] (sep part + accumulated upd part).  Returns
     (y [nf, s, nrhs], cbv [nf, u, nrhs])."""
     nf, p, nrhs = bloc.shape
     dt = bloc.dtype
+    band = adm_band if nt > 1 else 0
     bt = bloc.reshape(nf, nt, t, nrhs)
     ys = []
     for k in range(nts):
@@ -163,17 +201,21 @@ def blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t, nts, nt):
         upd = jnp.einsum("fita,fiar->fitr", Ul[:, k], vy,
                          preferred_element_type=dt)
         bt = bt - upd
+        if band and k + 1 < nt:
+            bt = bt.at[:, k + 1].add(
+                -jnp.matmul(Dl[:, k], y, preferred_element_type=dt))
     y = jnp.concatenate(ys, axis=1) if ys else jnp.zeros((nf, 0, nrhs), dt)
     cbv = bt[:, nts:].reshape(nf, (nt - nts) * t, nrhs)
     return y, cbv
 
 
-@partial(jax.jit, static_argnames=("t", "nts", "nt"))
-def blr_bwd_bucket(lud, Uu, Vu, y, xupd, t, nts, nt):
+@partial(jax.jit, static_argnames=("t", "nts", "nt", "adm_band"))
+def blr_bwd_bucket(lud, Uu, Vu, Du, y, xupd, t, nts, nt, adm_band=0):
     """Backward solve: x_k = Ukk^-1 (y_k - sum_{j>k} T[k,j] x_j).
     xupd: [nf, u, nrhs] solved ancestor values.  Returns x_sep."""
     nf, _, nrhs = y.shape
     dt = y.dtype
+    band = adm_band if nt > 1 else 0
     u = (nt - nts) * t
     xt = jnp.concatenate(
         [jnp.zeros((nf, nts * t, nrhs), dt), xupd], axis=1
@@ -185,7 +227,11 @@ def blr_bwd_bucket(lud, Uu, Vu, y, xupd, t, nts, nt):
                         preferred_element_type=dt)
         upd = jnp.einsum("fjta,fjar->ftr", Uu[:, k], vx,
                          preferred_element_type=dt)
+        rhs = yt[:, k] - upd
+        if band and k + 1 < nt:
+            rhs = rhs - jnp.matmul(Du[:, k], xt[:, k + 1],
+                                   preferred_element_type=dt)
         xk = jax.lax.linalg.triangular_solve(
-            lud[:, k], yt[:, k] - upd, left_side=True, lower=False)
+            lud[:, k], rhs, left_side=True, lower=False)
         xt = xt.at[:, k].set(xk)
     return xt[:, :nts].reshape(nf, nts * t, nrhs)

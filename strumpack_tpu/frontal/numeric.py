@@ -297,9 +297,10 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_flat, thresh, tol,
         from . import blr as B
         t = bp.tile
         nt, nts = bp.p // t, bp.s_pad // t
-        lud, perms, Uu, Vu, Ul, Vl, CB, rk = B.blr_factor_bucket(
-            F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt)
-        out["blr"][key] = (lud, perms, Uu, Vu, Ul, Vl)
+        lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk = B.blr_factor_bucket(
+            F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt,
+            adm_band=bp.adm_band)
+        out["blr"][key] = (lud, perms, Uu, Vu, Ul, Vl, Du, Dl)
         out["blr_ranks"][key] = rk
     elif bp.hss or bp.hodlr:
         # HSS/HODLR fronts (FrontHSS / FrontHODLR roles), batched via
@@ -365,10 +366,11 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_flat):
         cbv = bloc[:, bp.s_pad:]
     elif bp.blr:
         from . import blr as B
-        lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
+        lud, perms, Uu, Vu, Ul, Vl, Du, Dl = fac_tree["blr"][key]
         t = bp.tile
-        y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, bloc, t=t,
-                                  nts=bp.s_pad // t, nt=bp.p // t)
+        y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, Dl, bloc, t=t,
+                                  nts=bp.s_pad // t, nt=bp.p // t,
+                                  adm_band=bp.adm_band)
     elif bp.hss or bp.hodlr:
         y, cbv = _hss_solve_fwd(bp, fac_tree["hss"][key], bloc, dtype)
     elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
@@ -403,10 +405,11 @@ def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
         xsep = y
     elif bp.blr:
         from . import blr as B
-        lud, perms, Uu, Vu, Ul, Vl = fac_tree["blr"][key]
+        lud, perms, Uu, Vu, Ul, Vl, Du, Dl = fac_tree["blr"][key]
         t = bp.tile
-        xsep = B.blr_bwd_bucket(lud, Uu, Vu, y, xupd, t=t,
-                                nts=bp.s_pad // t, nt=bp.p // t)
+        xsep = B.blr_bwd_bucket(lud, Uu, Vu, Du, y, xupd, t=t,
+                                nts=bp.s_pad // t, nt=bp.p // t,
+                                adm_band=bp.adm_band)
     elif bp.hss or bp.hodlr:
         H, S12, F21 = fac_tree["hss"][key]
         xsep = y - jnp.matmul(S12, xupd, preferred_element_type=dtype)
@@ -529,8 +532,9 @@ class Factors:
                 total += leaf.size * leaf.dtype.itemsize
         if effective:
             for key, entry in self.tree["blr"].items():
-                lud, perms, Uu, Vu, Ul, Vl = entry
-                total += (lud.size + perms.size) * itemsize
+                lud, perms, Uu, Vu, Ul, Vl, Du, Dl = entry
+                total += (lud.size + perms.size + Du.size
+                          + Dl.size) * itemsize
                 rk = np.asarray(self.tree["blr_ranks"][key])
                 t = Uu.shape[-2]
                 total += int(2 * t * rk.sum()) * itemsize

@@ -107,6 +107,7 @@ class BucketPlan:
     blr: bool = False
     tile: int = 0                # BLR tile size t
     max_rank: int = 0            # BLR fixed max rank r
+    adm_band: int = 0            # 0 = weak admissibility, 1 = strong
     lossy: int = 0               # 0 = off, 8 = int8, 16 = bf16 storage
     hss: bool = False
     hodlr: bool = False
@@ -237,6 +238,9 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     bp.tile = choose_tile(sp, up, compression.blr.leaf_size)
                     bp.max_rank = max(4, min(compression.blr.max_rank,
                                              bp.tile // 2))
+                    if getattr(compression.blr, "admissibility",
+                               "weak") == "strong":
+                        bp.adm_band = 1
                 elif (compression.compression == CompressionType.LOSSY
                         and sp >= compression.compression_min_sep_size):
                     bp.lossy = getattr(compression, "lossy_precision", 16)

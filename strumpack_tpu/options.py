@@ -69,6 +69,10 @@ class BLROptions:
     abs_tol: float = 1e-10
     leaf_size: int = 256
     max_rank: int = 5000
+    # "weak" compresses every off-diagonal tile of an eliminated block
+    # row/col; "strong" keeps the tiles adjacent to the diagonal dense
+    # (BLR/BLROptions.hpp:62 Admissibility)
+    admissibility: str = "weak"
 
 
 @dataclass
@@ -156,7 +160,7 @@ class SPOptions:
         ):
             out.write("  " + line + "\n")
         out.write("# BLR options (--blr_*): leaf_size, max_rank, rel_tol, "
-                  "abs_tol\n")
+                  "abs_tol, admissibility weak|strong\n")
         out.write("# HSS options (--hss_*): leaf_size, d0, dd, max_rank, "
                   "rel_tol, abs_tol,\n"
                   "#   --hss_enable/disable_sampling (randomized-sampling "
@@ -241,6 +245,13 @@ class SPOptions:
                 setattr(self, attr, v)
             elif name in hss_bool:
                 self.hss.sampling = hss_bool[name]
+            elif name == "blr_admissibility":
+                if val is None:
+                    i += 1
+                    val = argv[i]
+                if val.lower() not in ("weak", "strong"):
+                    raise ValueError(f"--blr_admissibility {val}")
+                self.blr.admissibility = val.lower()
             elif name in enum_map:
                 attr, E = enum_map[name]
                 if val is None:

@@ -24,23 +24,26 @@ def test_blr_kernel_exact_at_full_rank():
     F = rng.standard_normal((nf, p, p)) * 0.01
     F += np.eye(p)[None] * 10.0
     Fj = jnp.asarray(F)
-    lud, perms, Uu, Vu, Ul, Vl, CB, rk = blr_factor_bucket(
-        Fj, jnp.asarray(0.0), jnp.asarray(1e-14), t=t, r=t, nts=nts, nt=nt)
-    F11, F12 = F[:, :s, :s], F[:, :s, s:]
-    F21, F22 = F[:, s:, :s], F[:, s:, s:]
-    for f in range(nf):
-        CBref = F22[f] - F21[f] @ np.linalg.solve(F11[f], F12[f])
-        assert np.abs(np.asarray(CB)[f] - CBref).max() < 1e-10
-    b = rng.standard_normal((nf, p, 1))
-    y, cbv = blr_fwd_bucket(lud, perms, Ul, Vl, jnp.asarray(b),
-                            t=t, nts=nts, nt=nt)
-    xupd = np.stack([np.linalg.solve(np.asarray(CB)[f], np.asarray(cbv)[f])
-                     for f in range(nf)])
-    xsep = blr_bwd_bucket(lud, Uu, Vu, y, jnp.asarray(xupd),
-                          t=t, nts=nts, nt=nt)
-    for f in range(nf):
-        xfull = np.concatenate([np.asarray(xsep)[f], xupd[f]])
-        assert np.abs(F[f] @ xfull - b[f]).max() < 1e-9
+    for adm in (0, 1):
+        lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk = blr_factor_bucket(
+            Fj, jnp.asarray(0.0), jnp.asarray(1e-14), t=t, r=t,
+            nts=nts, nt=nt, adm_band=adm)
+        F11, F12 = F[:, :s, :s], F[:, :s, s:]
+        F21, F22 = F[:, s:, :s], F[:, s:, s:]
+        for f in range(nf):
+            CBref = F22[f] - F21[f] @ np.linalg.solve(F11[f], F12[f])
+            assert np.abs(np.asarray(CB)[f] - CBref).max() < 1e-10
+        b = rng.standard_normal((nf, p, 1))
+        y, cbv = blr_fwd_bucket(lud, perms, Ul, Vl, Dl, jnp.asarray(b),
+                                t=t, nts=nts, nt=nt, adm_band=adm)
+        xupd = np.stack(
+            [np.linalg.solve(np.asarray(CB)[f], np.asarray(cbv)[f])
+             for f in range(nf)])
+        xsep = blr_bwd_bucket(lud, Uu, Vu, Du, y, jnp.asarray(xupd),
+                              t=t, nts=nts, nt=nt, adm_band=adm)
+        for f in range(nf):
+            xfull = np.concatenate([np.asarray(xsep)[f], xupd[f]])
+            assert np.abs(F[f] @ xfull - b[f]).max() < 1e-9
 
 
 def test_blr_compression_reduces_rank():
@@ -56,11 +59,36 @@ def test_blr_compression_reduces_rank():
     lowrank = rng.standard_normal((t, 3)) @ rng.standard_normal((3, t))
     F[0, :t, t:] = lowrank
     F[0, t:, :t] = lowrank.T
-    _, _, _, _, _, _, _, rk = blr_factor_bucket(
+    out = blr_factor_bucket(
         jnp.asarray(F), jnp.asarray(0.0), jnp.asarray(1e-8),
         t=t, r=16, nts=nts, nt=nt)
-    ranks = np.asarray(rk)
+    ranks = np.asarray(out[-1])
     assert ranks.max() <= 4, ranks.max()  # found the rank-3 structure
+
+
+def test_blr_strong_admissibility():
+    """Strong admissibility (BLROptions.hpp:62): tiles adjacent to the
+    diagonal stay dense (Du/Dl), solve still reaches rel_tol."""
+    A = poisson2d(40)
+    opts = SPOptions(compression=CompressionType.BLR,
+                     compression_min_sep_size=32, rel_tol=1e-8)
+    opts.blr.rel_tol = 1e-6
+    opts.blr.leaf_size = 16
+    opts.blr.admissibility = "strong"
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(40, 40)
+    assert any(bp.adm_band == 1
+               for lvl in s.plan.levels for bp in lvl if bp.blr)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+    # the dense band is stored
+    entry = next(iter(s.fac.tree["blr"].values()))
+    assert entry[6].shape[-1] > 0
 
 
 def test_poisson3d_blr_gmres():
