@@ -19,7 +19,9 @@ The factorization stores:
 Both construction (batched truncated bases per level) and matvec (transfer-
 chain up/mid/down sweeps) are fully batched: every level is one einsum-
 shaped kernel over all (row-node, col-node) pairs — no recursion, static
-shapes, masked actual ranks (fixed max rank r).
+shapes, masked actual ranks (fixed max rank r).  The functional forms
+``bf_compress`` / ``bf_matvec`` are pure pytree transforms so they can be
+``vmap``-ed over a batch of blocks (used by :class:`HODBFMatrix`).
 """
 from __future__ import annotations
 
@@ -30,6 +32,120 @@ import numpy as np
 from .hss import _trunc_basis
 
 
+def bf_depth(m: int, leaf_size=None) -> int:
+    """Deepest even butterfly depth keeping leaves >= min(16, leaf_size):
+    butterfly ranks scale with the leaf size, so small leaves +
+    r ~ leaf + O(log 1/tol) give the accurate regime."""
+    min_leaf = min(16, leaf_size or 16)
+    D = 0
+    while m % (2 ** (D + 2)) == 0 and (m // (2 ** (D + 2))) >= min_leaf:
+        D += 2
+    return D
+
+
+def bf_compress(A, D: int, r: int, tol):
+    """Butterfly-compress A [m, m] (m = b 2^D, D even) at max rank r.
+
+    Returns a pytree dict {Uleaf, Vleaf, B, Tr: {l: T}, Tv: {l: T},
+    rkU, rkV}; all shapes are functions of (m, D, r) only, so this is
+    vmap-compatible over a leading batch of A blocks."""
+    m = A.shape[0]
+    h = D // 2
+    b = m // (2 ** D)
+    nl = 2 ** D
+
+    def sweep(M):
+        """Row-side sweep of M: returns (leaf bases, transfers, R_h)."""
+        # leaves: l = D, partner = full column range
+        blocks = M.reshape(nl, b, m)
+        if r >= b:
+            # identity leaf basis padded to rank r (rank <= b anyway)
+            U = jnp.zeros((nl, b, r), M.dtype)
+            U = U.at[:, :, :b].set(jnp.eye(b, dtype=M.dtype)[None])
+            rk = jnp.full((nl,), b)
+            R = jnp.zeros((nl, r, m), M.dtype).at[:, :b, :].set(blocks)
+            R = R[:, None]
+        else:
+            U, rk = _trunc_basis(blocks, tol, r)     # [nl, b, r]
+            R = jnp.einsum("nbr,nbm->nrm", U.conj(), blocks)[:, None]
+        # R indexed [2^l, 2^(D-l), r, cols_of_partner]
+        Ts = {}
+        for l in range(D - 1, h - 1, -1):
+            ni, nj = 2 ** l, 2 ** (D - l)
+            C2 = m // nj
+            # children rows 2i,2i+1 at l+1 with partner J = j//2
+            Rp = R.reshape(ni, 2, nj // 2, r, 2, C2)
+            S = Rp.transpose(0, 2, 4, 1, 3, 5).reshape(
+                ni, nj, 2 * r, C2)
+            T, _ = _trunc_basis(S.reshape(-1, 2 * r, C2), tol, r)
+            T = T.reshape(ni, nj, 2 * r, r)
+            R = jnp.einsum("ijkr,ijkc->ijrc", T.conj(), S)
+            Ts[l] = T
+        return U, Ts, R, rk
+
+    Uleaf, Tr, Rrow, rkU = sweep(A)
+    Vleaf, Tv, Rcol, rkV = sweep(A.conj().T)
+
+    # explicit mid-level col bases Vbig[j, i] [m/2^h, r] to form B:
+    # Vbig_l[j, i] = blockdiag(Vbig_{l+1}[j0, I], Vbig_{l+1}[j1, I]) @
+    #                Tv_l[j, i]  with I = i // 2
+    Vbig = Vleaf[:, None]   # [2^l, 2^(D-l), blk, r] at l = D
+    for l in range(D - 1, h - 1, -1):
+        ni, nj = 2 ** l, 2 ** (D - l)
+        blk = m // (2 ** (l + 1))
+        Vp = Vbig.reshape(ni, 2, nj // 2, blk, r)
+        Tl = Tv[l]          # [ni(col), nj(row-partner), 2r, r]
+        bd = jnp.zeros((ni, nj // 2, 2 * blk, 2 * r), Tl.dtype)
+        bd = bd.at[:, :, :blk, :r].set(Vp[:, 0])
+        bd = bd.at[:, :, blk:, r:].set(Vp[:, 1])
+        bd = jnp.repeat(bd, 2, axis=1)   # same children for both i bits
+        Vbig = jnp.einsum("ijkr,ijrs->ijks", bd, Tl)
+    # Vbig now [2^h(col j), 2^h(row i), m/2^h, r]
+    # B[i, j] = Rrow_h[i, j] @ Vbig[j, i]
+    B = jnp.einsum("ijrc,jics->ijrs", Rrow, Vbig)
+    return dict(Uleaf=Uleaf, Vleaf=Vleaf, B=B, Tr=Tr, Tv=Tv,
+                rkU=rkU, rkV=rkV)
+
+
+def bf_matvec(bf, x, D: int, r: int):
+    """Apply a butterfly factorization to x [m, k] -> [m, k]."""
+    h = D // 2
+    nl = 2 ** D
+    m = bf["Uleaf"].shape[0] * bf["Uleaf"].shape[1]
+    b = m // nl
+    k = x.shape[1]
+    # col-side upsweep: c[j, i] = V_{j,i}^H x(cols_j)
+    c = jnp.einsum("nbr,nbk->nrk", bf["Vleaf"].conj(),
+                   x.reshape(nl, b, k))[:, None]  # [2^l, 2^(D-l), r, k]
+    for l in range(D - 1, h - 1, -1):
+        ni, nj = 2 ** l, 2 ** (D - l)
+        cp = c.reshape(ni, 2, nj // 2, r, k)
+        stacked = jnp.concatenate([cp[:, 0], cp[:, 1]], axis=2)
+        # [ni, nj/2, 2r, k] -> same children for both partner bits
+        stacked = jnp.repeat(stacked, 2, axis=1)
+        c = jnp.einsum("ijkr,ijkc->ijrc", bf["Tv"][l].conj(), stacked)
+    # mid: d[i, j] = B[i, j] c[j, i]
+    d = jnp.einsum("ijrs,jisk->ijrk", bf["B"], c)  # [2^h, 2^h, r, k]
+    # row-side downsweep
+    e = d
+    for l in range(h, D):
+        ni, nj = 2 ** l, 2 ** (D - l)
+        w = jnp.einsum("ijkr,ijrc->ijkc", bf["Tr"][l], e)  # [ni,nj,2r,k]
+        # split rank halves to child rows; sum over partner-bit pairs
+        w = w.reshape(ni, nj // 2, 2, 2, r, k).sum(axis=2)
+        # [ni, nj/2, 2(child), r, k] -> children rows interleave
+        e = w.transpose(0, 2, 1, 3, 4).reshape(2 * ni, nj // 2, r, k)
+    y = jnp.einsum("nbr,nrk->nbk", bf["Uleaf"], e[:, 0])
+    return y.reshape(m, k)
+
+
+def bf_memory(bf) -> int:
+    tot = bf["Uleaf"].size + bf["Vleaf"].size + bf["B"].size
+    for T in list(bf["Tr"].values()) + list(bf["Tv"].values()):
+        tot += T.size
+    return int(tot)
+
+
 class ButterflyMatrix:
     def __init__(self, A, levels=None, leaf_size=None, max_rank=16,
                  rel_tol=1e-8):
@@ -37,14 +153,7 @@ class ButterflyMatrix:
         m = A.shape[0]
         assert A.shape[0] == A.shape[1], "square blocks only (this round)"
         if levels is None:
-            # deepest even depth keeping leaves >= min(16, leaf_size):
-            # butterfly ranks scale with the leaf size, so small leaves +
-            # r ~ leaf + O(log 1/tol) give the accurate regime
-            min_leaf = min(16, leaf_size or 16)
-            D = 0
-            while (m % (2 ** (D + 2)) == 0
-                   and (m // (2 ** (D + 2))) >= min_leaf):
-                D += 2
+            D = bf_depth(m, leaf_size)
         else:
             D = int(levels)
             assert D % 2 == 0 and m % (2 ** D) == 0
@@ -56,106 +165,22 @@ class ButterflyMatrix:
         self.r = int(max_rank)
         self.dtype = A.dtype
         self.rel_tol = rel_tol
-        self._compress(A)
-
-    # ------------------------------------------------------------------
-    def _compress(self, A):
-        m, D, h, b, r = self.m, self.D, self.h, self.b, self.r
-        tol = jnp.asarray(self.rel_tol,
-                          jnp.real(jnp.zeros((), A.dtype)).dtype)
-        nl = 2 ** D
-
-        def sweep(M):
-            """Row-side sweep of M: returns (leaf bases, transfers, R_h)."""
-            # leaves: l = D, partner = full column range
-            blocks = M.reshape(nl, b, m)
-            if r >= b:
-                # identity leaf basis padded to rank r (rank <= b anyway)
-                U = jnp.zeros((nl, b, r), M.dtype)
-                U = U.at[:, :, :b].set(jnp.eye(b, dtype=M.dtype)[None])
-                rk = jnp.full((nl,), b)
-                R = jnp.zeros((nl, r, m), M.dtype).at[:, :b, :].set(blocks)
-                R = R[:, None]
-            else:
-                U, rk = _trunc_basis(blocks, tol, r)     # [nl, b, r]
-                R = jnp.einsum("nbr,nbm->nrm", U.conj(), blocks)[:, None]
-            # R indexed [2^l, 2^(D-l), r, cols_of_partner]
-            Ts = {}
-            for l in range(D - 1, h - 1, -1):
-                ni, nj = 2 ** l, 2 ** (D - l)
-                C2 = m // nj
-                # children rows 2i,2i+1 at l+1 with partner J = j//2
-                Rp = R.reshape(ni, 2, nj // 2, r, 2, C2)
-                S = Rp.transpose(0, 2, 4, 1, 3, 5).reshape(
-                    ni, nj, 2 * r, C2)
-                T, _ = _trunc_basis(S.reshape(-1, 2 * r, C2), tol, r)
-                T = T.reshape(ni, nj, 2 * r, r)
-                R = jnp.einsum("ijkr,ijkc->ijrc", T.conj(), S)
-                Ts[l] = T
-            return U, Ts, R, rk
-
-        self.Uleaf, self.Tr, Rrow, rkU = sweep(A)
-        self.Vleaf, self.Tv, Rcol, rkV = sweep(A.conj().T)
-        self.ranks = (rkU, rkV)
-
-        # explicit mid-level col bases Vbig[j, i] [m/2^h, r] to form B:
-        # Vbig_l[j, i] = blockdiag(Vbig_{l+1}[j0, I], Vbig_{l+1}[j1, I]) @
-        #                Tv_l[j, i]  with I = i // 2
-        Vbig = self.Vleaf[:, None]   # [2^l, 2^(D-l), blk, r] at l = D
-        for l in range(D - 1, h - 1, -1):
-            ni, nj = 2 ** l, 2 ** (D - l)
-            blk = self.m // (2 ** (l + 1))
-            Vp = Vbig.reshape(ni, 2, nj // 2, blk, r)
-            Tl = self.Tv[l]          # [ni(col), nj(row-partner), 2r, r]
-            bd = jnp.zeros((ni, nj // 2, 2 * blk, 2 * r), Tl.dtype)
-            bd = bd.at[:, :, :blk, :r].set(Vp[:, 0])
-            bd = bd.at[:, :, blk:, r:].set(Vp[:, 1])
-            bd = jnp.repeat(bd, 2, axis=1)   # same children for both i bits
-            Vbig = jnp.einsum("ijkr,ijrs->ijks", bd, Tl)
-        # Vbig now [2^h(col j), 2^h(row i), m/2^h, r]
-        # B[i, j] = Rrow_h[i, j] @ Vbig[j, i]
-        self.B = jnp.einsum("ijrc,jics->ijrs", Rrow, Vbig)
+        tol = jnp.asarray(rel_tol, jnp.real(jnp.zeros((), A.dtype)).dtype)
+        self.bf = bf_compress(A, D, self.r, tol)
+        self.ranks = (self.bf["rkU"], self.bf["rkV"])
 
     # ------------------------------------------------------------------
     def matvec(self, x):
-        m, D, h, b, r = self.m, self.D, self.h, self.b, self.r
         squeeze = x.ndim == 1
         x = jnp.asarray(x, self.dtype)
         if squeeze:
             x = x[:, None]
-        k = x.shape[1]
-        nl = 2 ** D
-        # col-side upsweep: c[j, i] = V_{j,i}^H x(cols_j)
-        c = jnp.einsum("nbr,nbk->nrk", self.Vleaf.conj(),
-                       x.reshape(nl, b, k))[:, None]  # [2^l, 2^(D-l), r, k]
-        for l in range(D - 1, h - 1, -1):
-            ni, nj = 2 ** l, 2 ** (D - l)
-            cp = c.reshape(ni, 2, nj // 2, r, k)
-            stacked = jnp.concatenate([cp[:, 0], cp[:, 1]], axis=2)
-            # [ni, nj/2, 2r, k] -> same children for both partner bits
-            stacked = jnp.repeat(stacked, 2, axis=1)
-            c = jnp.einsum("ijkr,ijkc->ijrc", self.Tv[l].conj(), stacked)
-        # mid: d[i, j] = B[i, j] c[j, i]
-        d = jnp.einsum("ijrs,jisk->ijrk", self.B, c)  # [2^h, 2^h, r, k]
-        # row-side downsweep
-        e = d
-        for l in range(h, D):
-            ni, nj = 2 ** l, 2 ** (D - l)
-            w = jnp.einsum("ijkr,ijrc->ijkc", self.Tr[l], e)  # [ni,nj,2r,k]
-            # split rank halves to child rows; sum over partner-bit pairs
-            w = w.reshape(ni, nj // 2, 2, 2, r, k).sum(axis=2)
-            # [ni, nj/2, 2(child), r, k] -> children rows interleave
-            e = w.transpose(0, 2, 1, 3, 4).reshape(2 * ni, nj // 2, r, k)
-        y = jnp.einsum("nbr,nrk->nbk", self.Uleaf, e[:, 0])
-        y = y.reshape(m, k)
+        y = bf_matvec(self.bf, x, self.D, self.r)
         return y[:, 0] if squeeze else y
 
     # ------------------------------------------------------------------
     def memory(self) -> int:
-        tot = self.Uleaf.size + self.Vleaf.size + self.B.size
-        for T in list(self.Tr.values()) + list(self.Tv.values()):
-            tot += T.size
-        return int(tot)
+        return bf_memory(self.bf)
 
     def max_rank(self) -> int:
         rkU, rkV = self.ranks

@@ -66,7 +66,19 @@ class HODLRMatrix:
             U21, S21, V21 = jnp.linalg.svd(A21, full_matrices=False)
 
             def trunc(U, S, Vh):
-                # A ~= P @ Q with P [ml, r] = U*S, Q [r, ml] = Vh rows
+                # A ~= P @ Q with P [ml, r] = U*S, Q [r, ml] = Vh rows;
+                # pad when the block is smaller than the rank cap r
+                q = S.shape[-1]
+                if q < r:
+                    U = jnp.concatenate(
+                        [U, jnp.zeros(U.shape[:-1] + (r - q,), U.dtype)],
+                        axis=-1)
+                    S = jnp.concatenate(
+                        [S, jnp.zeros(S.shape[:-1] + (r - q,), S.dtype)],
+                        axis=-1)
+                    Vh = jnp.concatenate(
+                        [Vh, jnp.zeros(Vh.shape[:-2] + (r - q, Vh.shape[-1]),
+                                       Vh.dtype)], axis=-2)
                 s0 = S[..., :1]
                 keep = (S > tol * jnp.maximum(
                     s0, jnp.finfo(A.dtype).tiny))[..., :r]

@@ -19,6 +19,7 @@ class Type(enum.Enum):
     HSS = "hss"
     BLR = "blr"
     HODLR = "hodlr"
+    HODBF = "hodbf"
     BUTTERFLY = "butterfly"
     LR = "lr"
     LOSSY = "lossy"
@@ -76,6 +77,8 @@ def construct_from_dense(A, opts: StructuredOptions | None = None,
         return _HSSWrap(A, opts)
     if t == Type.HODLR:
         return _HODLRWrap(A, opts)
+    if t == Type.HODBF:
+        return _HODBFWrap(A, opts)
     if t == Type.BLR:
         return _BLRDense(A, opts)
     if t == Type.LR:
@@ -190,6 +193,33 @@ class _HODLRWrap(StructuredMatrix):
         return self.h.memory()
 
 
+class _HODBFWrap(StructuredMatrix):
+    """HODLR with butterfly off-diagonal blocks (ButterflyPACK HODBF
+    role); solve = HODLR-preconditioned GMRES on the HODBF matvec."""
+
+    def __init__(self, A, opts):
+        from .hodbf import HODBFMatrix
+        A = np.asarray(A)
+        self.rows, self.cols = A.shape
+        self.h = HODBFMatrix(A, leaf_size=opts.leaf_size,
+                             max_rank=opts.max_rank, rel_tol=opts.rel_tol)
+
+    def mult(self, x):
+        return self.h.matvec(x)
+
+    def factor(self):
+        self.h.factor()
+
+    def solve(self, b):
+        return self.h.solve(b)
+
+    def rank(self):
+        return self.h.max_rank()
+
+    def memory(self):
+        return self.h.memory()
+
+
 class _BLRDense(StructuredMatrix):
     """Standalone dense BLR matrix via the level-batched tile kernels
     (BLR/BLRMatrix.hpp:68 standalone role: compress, factor, solve)."""
@@ -261,7 +291,7 @@ class _BLRDense(StructuredMatrix):
         from ..frontal.blr import blr_fwd_bucket, blr_bwd_bucket
         if self._fac is None:
             self.factor()
-        lud, perms, Uu, Vu, Ul, Vl, CB, rk = self._fac
+        lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk = self._fac
         t = self.t
         nt = self.mpad // t
         squeeze = b.ndim == 1
@@ -269,9 +299,9 @@ class _BLRDense(StructuredMatrix):
         if squeeze:
             b = b[:, None]
         bp = jnp.zeros((self.mpad, b.shape[1]), b.dtype).at[:self.rows].set(b)
-        y, _ = blr_fwd_bucket(lud, perms, Ul, Vl, bp[None], t=t, nts=nt,
+        y, _ = blr_fwd_bucket(lud, perms, Ul, Vl, Dl, bp[None], t=t, nts=nt,
                               nt=nt)
-        x = blr_bwd_bucket(lud, Uu, Vu, y,
+        x = blr_bwd_bucket(lud, Uu, Vu, Du, y,
                            jnp.zeros((1, 0, b.shape[1]), b.dtype),
                            t=t, nts=nt, nt=nt)
         x = x[0, :self.rows]

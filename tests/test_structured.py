@@ -238,3 +238,43 @@ def test_butterfly_facade():
     rel = (np.linalg.norm(np.asarray(S.mult(x)) - A @ x)
            / np.linalg.norm(A @ x))
     assert rel < 1e-6, rel
+
+
+def test_hodbf_oscillatory_matvec_and_solve():
+    """HODBF (butterfly off-diagonal blocks inside the HODLR tree,
+    ButterflyPACK's HODBF role): compresses an oscillatory operator whose
+    HODLR off-diagonal ranks would blow up, and solves via the
+    HODLR-preconditioned GMRES on the HODBF matvec."""
+    import jax.numpy as jnp
+    from strumpack_tpu.structured.structured import (StructuredOptions,
+                                                     Type,
+                                                     construct_from_dense)
+    rng = np.random.default_rng(3)
+    m = 256
+    j = np.arange(m)
+    # oscillatory off-diagonal field (unnormalized cos kernel has spectral
+    # norm m/16 here) + dominant diagonal: well-conditioned but with
+    # full-rank-per-block oscillatory structure (1D Helmholtz character)
+    A = (np.cos(2 * np.pi * np.outer(j, j) / m) / 8.0
+         + np.eye(m) * (4.0 + 0.1 * rng.standard_normal(m)))
+    sopts = StructuredOptions(type=Type.HODBF, rel_tol=1e-8,
+                              max_rank=48, leaf_size=32)
+    S = construct_from_dense(A, sopts)
+    x = rng.standard_normal(m)
+    rel = (np.linalg.norm(np.asarray(S.mult(x)) - A @ x)
+           / np.linalg.norm(A @ x))
+    assert rel < 1e-6, rel
+    # plain HODLR at the same rank cap cannot represent the oscillatory
+    # off-diagonal blocks (flat singular spectrum) — HODBF's reason to be
+    sopts_h = StructuredOptions(type=Type.HODLR, rel_tol=1e-8,
+                                max_rank=48, leaf_size=32)
+    Sh = construct_from_dense(A, sopts_h)
+    rel_h = (np.linalg.norm(np.asarray(Sh.mult(x)) - A @ x)
+             / np.linalg.norm(A @ x))
+    assert rel < 1e-3 * rel_h, (rel, rel_h)
+    S.factor()
+    b = A @ x
+    xs = np.asarray(S.solve(jnp.asarray(b)))
+    relx = np.linalg.norm(xs - x) / np.linalg.norm(x)
+    assert relx < 1e-5, relx
+    assert S.rank() > 0 and S.memory() > 0
