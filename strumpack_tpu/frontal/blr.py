@@ -62,8 +62,10 @@ def _compress_tiles(T, tol, r, algo="aca"):
     return U, V, ranks
 
 
-@partial(jax.jit, static_argnames=("t", "r", "nts", "nt", "adm_band"))
-def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
+@partial(jax.jit,
+         static_argnames=("t", "r", "nts", "nt", "adm_band", "variant"))
+def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
+                      variant="rl"):
     """Batched BLR partial factorization of [nf, p, p] fronts.
 
     Tiles: nt x nt of size t (p = nt*t); the leading nts tiles are the
@@ -82,6 +84,20 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
     ``adm_band=0`` is weak admissibility (every off-diagonal tile of an
     eliminated block row/col is compressed); ``adm_band=1`` is strong
     admissibility: the tiles adjacent to the diagonal stay dense.
+
+    ``variant`` selects the update schedule (the reference's
+    ``BLRFactorAlgorithm``, BLR/BLROptions.hpp:65):
+      "rl" — right-looking: each step eagerly applies its rank-r update
+             to the whole trailing submatrix (dense tile writes per step);
+      "ll" — left-looking with LUAR-style accumulation
+             (BLRMatrix.hpp:275-300): per-step low-rank factors are only
+             *stored*; block row/col k receives all k accumulated updates
+             in one contraction at its turn, and the Schur complement
+             receives all nts accumulated updates in a single einsum over
+             the step axis — the accumulated rank-(k*r) products feed the
+             MXU as one large matmul instead of nts small scatter-updates.
+             Requires weak admissibility (falls back to "rl" when
+             adm_band>0).
     """
     nf, p, _ = F.shape
     dt = F.dtype
@@ -89,6 +105,7 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
     # [nf, nt(row), nt(col), t, t]
 
     band = adm_band if nt > 1 else 0
+    ll = variant == "ll" and band == 0 and nts > 0
     lud = jnp.zeros((nf, nts, t, t), dt)
     perms = jnp.zeros((nf, nts, t), jnp.int32)
     Uu = jnp.zeros((nf, nts, nt, t, r), dt)
@@ -102,7 +119,31 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
     col_ids = jnp.arange(nt)
 
     for k in range(nts):
-        Akk = tiles[:, k, k]
+        if ll:
+            # left-looking: apply the accumulated low-rank updates from
+            # steps m<k to block row k and block column k only, as one
+            # contraction over the accumulated (m, r) rank axes (LUAR).
+            if k == 0:
+                rowk_full = tiles[:, 0]        # [nf, nt, t, t]
+                colk_full = tiles[:, :, 0]
+            else:
+                Ulk, Vlk = Ul[:, :k, k], Vl[:, :k, k]   # [nf,m,t,r],[nf,m,r,t]
+                Uuk, Vuk = Uu[:, :k, k], Vu[:, :k, k]
+                midr = jnp.einsum("fmat,fmjtb->fmjab", Vlk, Uu[:, :k],
+                                  preferred_element_type=dt)
+                rowupd = jnp.einsum("fmta,fmjab,fmjbs->fjts",
+                                    Ulk, midr, Vu[:, :k],
+                                    preferred_element_type=dt)
+                rowk_full = tiles[:, k] - rowupd
+                midc = jnp.einsum("fmiat,fmtb->fmiab", Vl[:, :k], Uuk,
+                                  preferred_element_type=dt)
+                colupd = jnp.einsum("fmita,fmiab,fmbs->fits",
+                                    Ul[:, :k], midc, Vuk,
+                                    preferred_element_type=dt)
+                colk_full = tiles[:, :, k] - colupd
+            Akk = rowk_full[:, k]
+        else:
+            Akk = tiles[:, k, k]
         lu, _, perm = jax.lax.linalg.lu(Akk)
         d = jnp.diagonal(lu, axis1=-2, axis2=-1)
         repl = jnp.where(jnp.abs(d) < thresh,
@@ -116,12 +157,12 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
 
         lub = jnp.broadcast_to(lu[:, None], (nf, nt, t, t))
         # block row k: W = L^-1 P A[k, j] for all j (mask j <= k)
-        rowk = tiles[:, k]  # [nf, nt, t, t]
+        rowk = rowk_full if ll else tiles[:, k]  # [nf, nt, t, t]
         rowk = jnp.take_along_axis(rowk, perm[:, None, :, None], axis=2)
         W = jax.lax.linalg.triangular_solve(
             lub, rowk, left_side=True, lower=True, unit_diagonal=True)
         # block col k: Z = A[i, k] U^-1 for all i
-        colk = tiles[:, :, k]
+        colk = colk_full if ll else tiles[:, :, k]
         Z = jax.lax.linalg.triangular_solve(
             lub, colk, left_side=False, lower=False)
 
@@ -142,13 +183,14 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
         rk = rk.at[:, k, :, 1].set(
             jnp.where(col_ids[None] > k + band, rz, 0).astype(jnp.int32))
 
-        # trailing update: A[i,j] -= Z_i W_j = Uz_i (Vz_i Uw_j) Vw_j
-        # [nf, i, r, t] x [nf, j, t, r] -> middle [nf, i, j, r, r]
-        mid = jnp.einsum("fiab,fjbc->fijac", Vz, Uw,
-                         preferred_element_type=dt)
-        upd = jnp.einsum("fita,fijab,fjbs->fijts", Uz, mid, Vw,
-                         preferred_element_type=dt)
-        tiles = tiles - upd
+        if not ll:
+            # trailing update: A[i,j] -= Z_i W_j = Uz_i (Vz_i Uw_j) Vw_j
+            # [nf, i, r, t] x [nf, j, t, r] -> middle [nf, i, j, r, r]
+            mid = jnp.einsum("fiab,fjbc->fijac", Vz, Uw,
+                             preferred_element_type=dt)
+            upd = jnp.einsum("fita,fijab,fjbs->fijts", Uz, mid, Vw,
+                             preferred_element_type=dt)
+            tiles = tiles - upd
 
         if band and k + 1 < nt:
             # strong admissibility: the distance-1 tiles stay dense; their
@@ -173,7 +215,19 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0):
             # the (k+1, k+1) corner: dense x dense
             tiles = tiles.at[:, k + 1, k + 1].add(
                 -jnp.matmul(Zd, Wd, preferred_element_type=dt))
-    CB = tiles[:, nts:, nts:].transpose(0, 1, 3, 2, 4).reshape(
+    cb_tiles = tiles[:, nts:, nts:]
+    if ll and nt > nts:
+        # LUAR: the Schur block receives all nts accumulated rank-r
+        # updates at once — a single contraction over the (step, rank)
+        # axes, i.e. one accumulated rank-(nts*r) product per tile pair.
+        VlS, UuS = Vl[:, :, nts:], Uu[:, :, nts:]
+        UlS, VuS = Ul[:, :, nts:], Vu[:, :, nts:]
+        mid = jnp.einsum("fmiat,fmjtb->fmijab", VlS, UuS,
+                         preferred_element_type=dt)
+        upd = jnp.einsum("fmita,fmijab,fmjbs->fijts", UlS, mid, VuS,
+                         preferred_element_type=dt)
+        cb_tiles = cb_tiles - upd
+    CB = cb_tiles.transpose(0, 1, 3, 2, 4).reshape(
         nf, (nt - nts) * t, (nt - nts) * t)
     return lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk
 

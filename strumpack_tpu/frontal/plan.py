@@ -108,6 +108,7 @@ class BucketPlan:
     tile: int = 0                # BLR tile size t
     max_rank: int = 0            # BLR fixed max rank r
     adm_band: int = 0            # 0 = weak admissibility, 1 = strong
+    blr_variant: str = "rl"      # "rl" eager / "ll" LUAR-accumulated
     lossy: int = 0               # 0 = off, 8 = int8, 16 = bf16 storage
     hss: bool = False
     hodlr: bool = False
@@ -241,6 +242,8 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     if getattr(compression.blr, "admissibility",
                                "weak") == "strong":
                         bp.adm_band = 1
+                    bp.blr_variant = getattr(compression.blr,
+                                             "factor_algorithm", "rl")
                 elif (compression.compression == CompressionType.LOSSY
                         and sp >= compression.compression_min_sep_size):
                     bp.lossy = getattr(compression, "lossy_precision", 16)

@@ -73,6 +73,11 @@ class BLROptions:
     # row/col; "strong" keeps the tiles adjacent to the diagonal dense
     # (BLR/BLROptions.hpp:62 Admissibility)
     admissibility: str = "weak"
+    # update schedule (BLR/BLROptions.hpp:65 BLRFactorAlgorithm):
+    # "rl" right-looking eager updates, "ll" left-looking with LUAR-style
+    # accumulated low-rank updates (BLRMatrix.hpp:275-300) applied as one
+    # contraction per block row/col and once for the Schur complement.
+    factor_algorithm: str = "rl"
 
 
 @dataclass
@@ -160,7 +165,9 @@ class SPOptions:
         ):
             out.write("  " + line + "\n")
         out.write("# BLR options (--blr_*): leaf_size, max_rank, rel_tol, "
-                  "abs_tol, admissibility weak|strong\n")
+                  "abs_tol, admissibility weak|strong,\n"
+                  "#   factor_algorithm RL|LL|COMB|STAR (LL/COMB/STAR = "
+                  "LUAR-accumulated updates)\n")
         out.write("# HSS options (--hss_*): leaf_size, d0, dd, max_rank, "
                   "rel_tol, abs_tol,\n"
                   "#   --hss_enable/disable_sampling (randomized-sampling "
@@ -252,6 +259,19 @@ class SPOptions:
                 if val.lower() not in ("weak", "strong"):
                     raise ValueError(f"--blr_admissibility {val}")
                 self.blr.admissibility = val.lower()
+            elif name == "blr_factor_algorithm":
+                if val is None:
+                    i += 1
+                    val = argv[i]
+                v = val.lower()
+                # reference names (BLROptions.hpp:65): RL/LL/COMB/STAR/
+                # COLWISE; COMB and STAR are accumulation variants — our
+                # "ll" IS the accumulated (LUAR) schedule, so map them.
+                alias = {"rl": "rl", "ll": "ll", "comb": "ll", "star": "ll",
+                         "colwise": "rl"}
+                if v not in alias:
+                    raise ValueError(f"--blr_factor_algorithm {val}")
+                self.blr.factor_algorithm = alias[v]
             elif name in enum_map:
                 attr, E = enum_map[name]
                 if val is None:

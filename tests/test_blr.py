@@ -129,3 +129,53 @@ def test_poisson2d_blr_tighter_tol_fewer_iits():
         assert rc == ReturnCode.SUCCESS
         its[tol] = s.Krylov_iterations()
     assert its[1e-6] <= its[1e-2]
+
+
+def test_blr_ll_luar_matches_rl():
+    """LL (LUAR-accumulated) factorization agrees with RL: same factor
+    format, same CB, same solves (BLRFactorAlgorithm::LL role)."""
+    rng = np.random.default_rng(7)
+    nf, t, nts, ntu = 2, 16, 4, 2
+    nt = nts + ntu
+    p, s = nt * t, nts * t
+    F = rng.standard_normal((nf, p, p)) * 0.01
+    F += np.eye(p)[None] * 10.0
+    Fj = jnp.asarray(F)
+    outs = {}
+    for variant in ("rl", "ll"):
+        outs[variant] = blr_factor_bucket(
+            Fj, jnp.asarray(0.0), jnp.asarray(1e-14), t=t, r=t,
+            nts=nts, nt=nt, adm_band=0, variant=variant)
+    for a, b in zip(outs["rl"], outs["ll"]):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.size:
+            assert np.abs(a - b).max() < 1e-8
+    # exactness of the LL CB at full rank
+    lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk = outs["ll"]
+    F11, F12 = F[:, :s, :s], F[:, :s, s:]
+    F21, F22 = F[:, s:, :s], F[:, s:, s:]
+    for f in range(nf):
+        CBref = F22[f] - F21[f] @ np.linalg.solve(F11[f], F12[f])
+        assert np.abs(np.asarray(CB)[f] - CBref).max() < 1e-10
+
+
+def test_poisson2d_blr_ll_end_to_end():
+    """--blr_factor_algorithm ll end-to-end through the driver."""
+    A = poisson2d(40)
+    opts = SPOptions(compression=CompressionType.BLR,
+                     compression_min_sep_size=32, rel_tol=1e-6)
+    opts.blr.rel_tol = 1e-5
+    rest = opts.set_from_command_line(["--blr_factor_algorithm", "LL"])
+    assert rest == [] and opts.blr.factor_algorithm == "ll"
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(40, 40)
+    assert any(bp.blr_variant == "ll"
+               for lvl in s.plan.levels for bp in lvl if bp.blr)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    res = A.max_scaled_residual(x, b)
+    assert res < 1e2 * opts.rel_tol, res
