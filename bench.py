@@ -56,9 +56,10 @@ def main():
     # probe once: under a degraded tunnel each dispatch costs ~10-500 ms,
     # so scale the repetition count to keep total time bounded
     t0 = time.perf_counter()
+    from strumpack_tpu.utils.sync import device_sync
     fac = numeric.factorize(s.pdev, vals,
                             matmul_precision=opts.matmul_precision)
-    _jax.block_until_ready(_jax.tree_util.tree_leaves(fac.tree))
+    device_sync(fac.tree)
     t_probe = time.perf_counter() - t0
     if t_probe > 2.0:
         reps = 2
@@ -68,9 +69,10 @@ def main():
     for _ in range(reps):
         fac = numeric.factorize(s.pdev, vals,
                                 matmul_precision=opts.matmul_precision)
-        # block each iteration: queuing all repetitions would hold `reps`
-        # copies of the factors in HBM simultaneously
-        _jax.block_until_ready(_jax.tree_util.tree_leaves(fac.tree))
+        # sync each iteration (host readback — block_until_ready does not
+        # fence remote execution): queuing all repetitions would also hold
+        # `reps` copies of the factors in HBM simultaneously
+        device_sync(fac.tree)
     t_factor = (time.perf_counter() - t0) / reps
     flops = s.factor_flops()
     gflops = flops / t_factor / 1e9

@@ -20,6 +20,7 @@ level-batched traversal (FrontGPU.cpp:470-640) and the two-phase solve
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -88,7 +89,7 @@ def _extend_add(F, cb_flat, pos, off, stride):
     return F + jnp.where(mask, cb_flat[safe], jnp.zeros((), F.dtype))
 
 
-def _factor_bucket(F, thresh, s_pad):
+def _factor_bucket(F, thresh, s_pad, pivoting=True):
     """Batched partial factorization of identity-padded fronts.
 
     Returns (lu, perm, L21, U12, CB):
@@ -98,8 +99,28 @@ def _factor_bucket(F, thresh, s_pad):
       L21  [nf,u,s]  = F21 U^-1
       CB   [nf,u,u]  = F22 - L21 U12   (contribution block)
     Mirrors FrontDense::factor_phase2 (FrontDense.cpp:254-284) with the
-    reference's tiny-pivot replacement (SparseSolverBase.cpp:346-350)."""
+    reference's tiny-pivot replacement (SparseSolverBase.cpp:346-350).
+
+    On TPU, f32 fronts up to p=64 go through the fused Pallas kernel
+    (LU + trsm + Schur in one VMEM-resident pass, fronts on lanes) — the
+    role of the reference's batched small-front GPU kernels
+    (FrontCUDA.cu:234-309); measured 6-22x over the XLA batched-LU path.
+    Elsewhere (CPU tests, f64/complex, large fronts) the XLA path runs.
+    """
+    from ..ops import pallas_lu as PL
+    nf, p, _ = F.shape
     s = s_pad
+    if (PL._supports_pallas(F.dtype) and p <= PL.MAX_PALLAS_P and nf > 0
+            and not os.environ.get("STRUMPACK_TPU_NO_PALLAS")):
+        packed, perm = PL.pallas_factor_bucket(
+            F, thresh=thresh, s_pad=s, pivot=pivoting)
+        lu, L21, U12, CB = PL.unpack_factors(packed, s)
+        return lu, perm, L21, U12, CB
+    if not pivoting:
+        packed = PL.nopivot_factor_bucket_xla(F, thresh, s)
+        lu, L21, U12, CB = PL.unpack_factors(packed, s)
+        perm = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (nf, s))
+        return lu, perm, L21, U12, CB
     F11 = F[:, :s, :s]
     lu, _, perm = jax.lax.linalg.lu(F11)
     d = jnp.diagonal(lu, axis1=-2, axis2=-1)
@@ -274,7 +295,7 @@ def _ext_add_vec(v, cbv_flat, pos, voff):
 # ---------------------------------------------------------------------------
 
 def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_flat, thresh, tol,
-                        spd, hss_tol, out):
+                        spd, hss_tol, out, pivoting=True):
     """Assemble + partially factor one bucket; records factors in ``out``
     and returns the bucket's flattened CB (the shared body of the whole-
     program and split-program factor paths)."""
@@ -314,7 +335,8 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_flat, thresh, tol,
         out["lu"][key] = L
         out["L21"][key] = L21
     else:
-        lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad)
+        lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad,
+                                                  pivoting=pivoting)
         if bp.lossy:
             lu = _quantize(lu, bp.lossy)
             L21 = _quantize(L21, bp.lossy)
@@ -327,7 +349,7 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_flat, thresh, tol,
 
 
 def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
-                 hss_tol=1e-4):
+                 hss_tol=1e-4, pivoting=True):
     dtype = Avals.dtype
     vals_ext = jnp.concatenate(
         [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
@@ -339,7 +361,7 @@ def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
         for bi, bd in enumerate(level):
             cb_parts.append(_bucket_factor_step(
                 li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_flat,
-                thresh, tol, spd, hss_tol, out))
+                thresh, tol, spd, hss_tol, out, pivoting=pivoting))
         cb_flat = (jnp.concatenate(cb_parts) if cb_parts
                    else jnp.zeros((0,), dtype=dtype))
     return out
@@ -542,8 +564,8 @@ class Factors:
         return total
 
 
-def _factor_level(pdev, li, spd, hss_tol, arrays, vals_ext, cb_flat,
-                  thresh, tol):
+def _factor_level(pdev, li, spd, hss_tol, pivoting, arrays, vals_ext,
+                  cb_flat, thresh, tol):
     """One level of the factorization (split-program mode)."""
     dtype = vals_ext.dtype
     out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
@@ -552,7 +574,7 @@ def _factor_level(pdev, li, spd, hss_tol, arrays, vals_ext, cb_flat,
     for bi, bd in enumerate(pdev.levels[li]):
         cb_parts.append(_bucket_factor_step(
             li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_flat,
-            thresh, tol, spd, hss_tol, out))
+            thresh, tol, spd, hss_tol, out, pivoting=pivoting))
     cb_flat = (jnp.concatenate(cb_parts) if cb_parts
                else jnp.zeros((0,), dtype=dtype))
     return out, cb_flat
@@ -560,7 +582,7 @@ def _factor_level(pdev, li, spd, hss_tol, arrays, vals_ext, cb_flat,
 
 def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
               blr_tol=1e-4, spd=False, hss_tol=1e-4,
-              matmul_precision="float32") -> Factors:
+              matmul_precision="float32", pivoting=True) -> Factors:
     """Numeric factorization: one jitted program for the whole level loop
     (cached per plan + dtype), or per-level programs for very large plans
     (same program-size guard as the solve)."""
@@ -569,11 +591,12 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
     rdt = jnp.real(jnp.zeros((), dtype)).dtype
     nbuckets = sum(len(l) for l in pdev.levels)
     if nbuckets <= SPLIT_SOLVE_BUCKETS:
-        key = ("factor", dtype.name, spd, hss_tol, matmul_precision)
+        key = ("factor", dtype.name, spd, hss_tol, matmul_precision,
+               pivoting)
         fn = pdev._jit_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(_factor_impl, pdev, spd=spd,
-                                 hss_tol=hss_tol))
+                                 hss_tol=hss_tol, pivoting=pivoting))
             pdev._jit_cache[key] = fn
         with jax.default_matmul_precision(matmul_precision):
             tree = fn(pdev.arrays, Avals,
@@ -591,10 +614,11 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
         cb_flat = jnp.zeros((0,), dtype=dtype)
         for li in range(len(pdev.levels)):
             key = ("factor_lvl", li, dtype.name, spd, hss_tol,
-                   matmul_precision)
+                   matmul_precision, pivoting)
             fn = pdev._jit_cache.get(key)
             if fn is None:
-                fn = jax.jit(partial(_factor_level, pdev, li, spd, hss_tol))
+                fn = jax.jit(partial(_factor_level, pdev, li, spd, hss_tol,
+                                     pivoting))
                 pdev._jit_cache[key] = fn
             out, cb_flat = fn(pdev.arrays, vals_ext,
                               cb_flat, jnp.asarray(thresh, rdt),

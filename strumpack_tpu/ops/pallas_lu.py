@@ -1,23 +1,32 @@
-"""Pallas TPU kernel: batched small-front partial factorization.
+"""Pallas TPU kernels: batched small-front partial factorization.
 
 Role of the reference's batched in-shared-memory front LU kernels
 (``FrontCUDA.cu:234-309`` ``LU_block_kernel`` — all fronts of a level with
 dim <= 32 factored by one batched kernel).  TPU design:
 
-* grid over blocks of BB fronts; each program holds [BB, p, p] in VMEM and
-  runs the right-looking elimination of the leading ``s`` columns with the
-  trailing (contribution-block) update included — one kernel does LU +
-  trsm + Schur for the whole padded front;
-* the elimination vectorizes across the batch (sublanes) and the row/col
-  axes (lanes) — each of the ``s`` steps is a masked rank-1 update on the
-  [BB, p, p] block;
-* no row pivoting (diagonal pivoting with tiny-pivot replacement) — the
-  reference's preconditioner-mode trade-off, selected via
-  ``--sp_disable_pivoting``; identity padding keeps ragged separator sizes
-  exact.
-
-The same kernel layout serves the forward/backward solves (solve kernels
-use masked triangular sweeps over the stored factors).
+* **fronts ride the lane dimension**: the bucket is stored as ``[p, p, BB]``
+  (rows, cols, fronts) so every VPU op runs 128 fronts wide regardless of
+  the front size ``p`` — a ``[BB, p, p]`` layout would use only ``p`` of the
+  128 lanes per vector for the typical p in {8..64};
+* the grid runs over blocks of ``BB`` fronts; each program holds one
+  ``[p, p, BB]`` block in VMEM and performs the right-looking elimination of
+  the leading ``s`` columns *including* the trailing contribution-block
+  update — one kernel does LU + trsm + Schur for the whole padded front;
+* each of the ``s`` steps is a masked rank-1 update: pivot row/column are
+  extracted with masked keepdims reductions (Mosaic has no dynamic vector
+  indexing), the update ``F -= colk · rowk`` broadcasts ``[p,1,BB] x
+  [1,p,BB]`` at full lane occupancy;
+* **row partial pivoting** (the reference's ``LU_block_kernel`` behavior /
+  ``getrf`` semantics) is done per front entirely in-register: the pivot
+  row index is an argmax over the masked column (max + min-index masked
+  reductions), and the row swap is two masked row selects; the permutation
+  is carried alongside and emitted in LAPACK "applied" form (perm[i] =
+  source row), identical to ``jax.lax.linalg.lu``'s third output;
+* tiny-pivot replacement (``SparseSolverBase.cpp:346-350``) happens on the
+  pivot after the swap; with pivoting disabled
+  (``--sp_disable_pivoting``) the same kernel runs without the
+  search/swap (diagonal pivoting) — the reference's preconditioner-mode
+  trade-off.  Identity padding keeps ragged separator sizes exact.
 """
 from __future__ import annotations
 
@@ -29,70 +38,148 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# fronts per kernel invocation (one full lane register) and the largest
+# front the Pallas path handles; bigger fronts go to the XLA path.
+_LANES = 128
+MAX_PALLAS_P = 64
 
-def _lu_kernel(ds_ref, F_ref, out_ref, *, s_pad, p, thresh):
-    F = F_ref[...]                     # [BB, p, p]
-    BB = F.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BB, p, p), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BB, p, p), 2)
 
-    def step(k, F):
-        # extract pivot / row k / column k via masked keepdims reductions
-        # (Mosaic has no dynamic vector indexing, and rank-1 intermediates
-        # break its layout inference — keep every tensor >= 2D)
+def _supports_pallas(dtype) -> bool:
+    return (jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32)
+
+
+def _lu_kernel(thresh_ref, F_ref, out_ref, perm_ref, *, s_pad, p, pivot):
+    F = F_ref[...]                     # [p, p, BB] — rows, cols, fronts
+    BB = F.shape[2]
+    thresh = thresh_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
+    rows1 = rows[:, :1]                # [p, 1, 1]
+    P0 = jnp.broadcast_to(rows1, (p, 1, BB)).astype(jnp.int32)
+
+    def step(k, carry):
+        F, P = carry
+        if pivot:
+            # pivot row = argmax |F[k:s_pad, k]| per front, via a masked
+            # max + masked min-index reduction (no dynamic vector indexing)
+            colk_a = jnp.abs(jnp.sum(jnp.where(cols == k, F, 0.0), axis=1,
+                                     keepdims=True))       # [p, 1, BB]
+            inrange = (rows1 >= k) & (rows1 < s_pad)
+            colk_a = jnp.where(inrange, colk_a, -1.0)
+            amax = jnp.max(colk_a, axis=0, keepdims=True)  # [1, 1, BB]
+            cand = jnp.where(colk_a == amax, rows1, p)
+            rpiv = jnp.min(cand, axis=0, keepdims=True)    # [1, 1, BB] int
+            # swap rows k <-> rpiv of F (full width) and of P
+            is_k, is_r = rows1 == k, rows1 == rpiv
+            rk = jnp.sum(jnp.where(is_k, F, 0.0), axis=0, keepdims=True)
+            rr = jnp.sum(jnp.where(is_r, F, 0.0), axis=0, keepdims=True)
+            F = jnp.where(is_r, jnp.broadcast_to(rk, (p, p, BB)), F)
+            F = jnp.where(is_k, jnp.broadcast_to(rr, (p, p, BB)), F)
+            pk = jnp.sum(jnp.where(is_k, P, 0), axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            pr = jnp.sum(jnp.where(is_r, P, 0), axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            P = jnp.where(is_r, jnp.broadcast_to(pk, (p, 1, BB)), P)
+            P = jnp.where(is_k, jnp.broadcast_to(pr, (p, 1, BB)), P)
         piv = jnp.sum(jnp.where((rows == k) & (cols == k), F, 0.0),
-                      axis=2, keepdims=True)
-        piv = jnp.sum(piv, axis=1, keepdims=True)   # [BB, 1, 1]
+                      axis=(0, 1), keepdims=True)          # [1, 1, BB]
         piv = jnp.where(jnp.abs(piv) < thresh,
                         jnp.where(piv == 0, thresh,
                                   jnp.sign(piv) * thresh), piv)
-        colk = jnp.sum(jnp.where(cols == k, F, 0.0), axis=2,
-                       keepdims=True)               # [BB, p, 1]
-        colk = jnp.where(rows[:, :, :1] > k, colk / piv, 0.0)
-        rowk = jnp.sum(jnp.where(rows == k, F, 0.0), axis=1,
-                       keepdims=True)               # [BB, 1, p]
-        rmask = jnp.where(cols[:, :1, :] > k, rowk, 0.0)
-        F = F - colk * rmask
+        colk = jnp.sum(jnp.where(cols == k, F, 0.0), axis=1,
+                       keepdims=True)                      # [p, 1, BB]
+        colk = jnp.where(rows1 > k, colk / piv, 0.0)
+        rowk = jnp.sum(jnp.where(rows == k, F, 0.0), axis=0,
+                       keepdims=True)                      # [1, p, BB]
+        rmask = jnp.where(cols[:1] > k, rowk, 0.0)
+        F = F - colk * rmask                               # full-lane rank-1
         # write multipliers into column k, restore pivot on the diagonal
         F = jnp.where((cols == k) & (rows > k),
-                      jnp.broadcast_to(colk, (BB, p, p)), F)
+                      jnp.broadcast_to(colk, (p, p, BB)), F)
         F = jnp.where((cols == k) & (rows == k),
-                      jnp.broadcast_to(piv, (BB, p, p)), F)
-        return F
+                      jnp.broadcast_to(piv, (p, p, BB)), F)
+        return F, P
 
-    F = jax.lax.fori_loop(0, s_pad, step, F)
+    F, P = jax.lax.fori_loop(0, s_pad, step, (F, P0))
     out_ref[...] = F
+    perm_ref[...] = P[:, 0, :]
 
 
-@partial(jax.jit, static_argnames=("s_pad", "bb", "thresh"))
-def pallas_factor_bucket(F, ds, thresh=0.0, s_pad=None, bb=None):
-    """Batched no-pivot partial LU of identity-padded fronts.
+@partial(jax.jit, static_argnames=("s_pad", "bb", "pivot", "interpret"))
+def pallas_factor_bucket(F, thresh=0.0, s_pad=None, bb=None, pivot=True,
+                         interpret=False):
+    """Batched partial LU of identity-padded fronts, one fused kernel.
 
-    F [nf, p, p] -> packed factors [nf, p, p] where [:s,:s] holds L\\U,
-    [:s,s:] = U12, [s:,:s] = L21 multipliers, [s:,s:] = CB.
+    F [nf, p, p] -> (packed [nf, p, p], perm [nf, s_pad]) where packed
+    [:s,:s] holds L\\U of P F11, [:s,s:] = U12 = L^-1 P F12, [s:,:s] = L21
+    multipliers, [s:,s:] = CB (Schur complement); perm is in applied form
+    (perm[i] = source row), like ``jax.lax.linalg.lu``.
     """
     nf, p, _ = F.shape
     s_pad = int(s_pad if s_pad is not None else p)
     if bb is None:
-        bb = max(1, min(nf, (2 * 1024 * 1024) // (p * p * 4)))
-        while nf % bb:
-            bb -= 1
-    thresh = float(thresh)
+        # ~8 live [p,p,bb] f32 temporaries inside the step; stay well under
+        # the (raised) VMEM budget while keeping full lanes
+        bb = _LANES if p > 16 else 4 * _LANES
+    nfp = -(-nf // bb) * bb
+    Ft = jnp.transpose(F, (1, 2, 0))               # [p, p, nf]
+    if nfp != nf:                                  # pad with identities
+        pad = jnp.broadcast_to(jnp.eye(p, dtype=F.dtype)[:, :, None],
+                               (p, p, nfp - nf))
+        Ft = jnp.concatenate([Ft, pad], axis=2)
+    thresh = jnp.reshape(jnp.asarray(thresh, F.dtype), (1,))
 
-    grid = (nf // bb,)
-    out = pl.pallas_call(
-        partial(_lu_kernel, s_pad=s_pad, p=p, thresh=thresh),
+    grid = (nfp // bb,)
+    out, perm = pl.pallas_call(
+        partial(_lu_kernel, s_pad=s_pad, p=p, pivot=pivot),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bb, p, p), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((p, p, bb), lambda i: (0, 0, i)),
         ],
-        out_specs=pl.BlockSpec((bb, p, p), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nf, p, p), F.dtype),
-    )(ds.astype(jnp.int32), F)
-    return out
+        out_specs=[
+            pl.BlockSpec((p, p, bb), lambda i: (0, 0, i)),
+            pl.BlockSpec((p, bb), lambda i: (0, i)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((p, p, nfp), F.dtype),
+                   jax.ShapeDtypeStruct((p, nfp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(thresh, Ft)
+    return (jnp.transpose(out[:, :, :nf], (2, 0, 1)),
+            jnp.transpose(perm[:s_pad, :nf], (1, 0)))
+
+
+def nopivot_factor_bucket_xla(F, thresh, s_pad):
+    """Pure-XLA fallback of the no-pivot elimination (any backend, any
+    dtype).  Same packed [nf, p, p] output as the Pallas kernel."""
+    nf, p, _ = F.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, p, p), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, p, p), 2)
+    thresh = jnp.asarray(thresh, jnp.real(jnp.zeros((), F.dtype)).dtype)
+
+    def step(k, F):
+        piv = jnp.sum(jnp.where((rows == k) & (cols == k), F, 0),
+                      axis=(1, 2), keepdims=True)
+        apiv = jnp.abs(piv)
+        sgn = jnp.where(piv == 0, jnp.ones((), F.dtype),
+                        (piv / jnp.where(apiv == 0, 1, apiv)).astype(F.dtype))
+        piv = jnp.where(apiv < thresh, sgn * thresh, piv)
+        colk = jnp.sum(jnp.where(cols == k, F, 0), axis=2, keepdims=True)
+        colk = jnp.where(rows[:, :, :1] > k, colk / piv, 0)
+        rowk = jnp.sum(jnp.where(rows == k, F, 0), axis=1, keepdims=True)
+        rmask = jnp.where(cols[:, :1] > k, rowk, 0)
+        F = F - colk * rmask
+        F = jnp.where((cols == k) & (rows > k),
+                      jnp.broadcast_to(colk, F.shape), F)
+        F = jnp.where((cols == k) & (rows == k),
+                      jnp.broadcast_to(piv, F.shape), F)
+        return F
+
+    return jax.lax.fori_loop(0, s_pad, step, F)
 
 
 def unpack_factors(packed, s_pad):

@@ -208,8 +208,10 @@ class SparseSolver:
             self.pdev, self.Ap.data, thresh=thresh,
             dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol,
             spd=opts.positive_definite, hss_tol=opts.hss.rel_tol,
-            matmul_precision=opts.matmul_precision)
-        jax.block_until_ready(jax.tree_util.tree_leaves(self.fac.tree)[-1])
+            matmul_precision=opts.matmul_precision,
+            pivoting=opts.pivoting)
+        from .utils.sync import device_sync
+        device_sync(self.fac.tree)
         self._factored = True
         self.times["factor"] = time.perf_counter() - t0
         if opts.verbose:
