@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .plan import BucketPlan, LevelPlan
+from ..ops import trisolve as TS
 
 
 # ---------------------------------------------------------------------------
@@ -43,6 +44,9 @@ class BucketDev:
         self.bp = bp
         self.has_L = bool((bp.posL >= 0).any())
         self.has_R = bool((bp.posR >= 0).any())
+        # static per-bucket child-CB block sizes for the extend-add
+        self.umaxL = int(bp.strideL.max(initial=0)) if self.has_L else 0
+        self.umaxR = int(bp.strideR.max(initial=0)) if self.has_R else 0
         def i32(a):
             return (a.astype(np.int32)
                     if a.size == 0 or a.max(initial=0) < 2**31 else a)
@@ -69,24 +73,107 @@ class PlanDev:
     def __init__(self, plan: LevelPlan):
         self.plan = plan
         self.levels = [[BucketDev(bp) for bp in lvl] for lvl in plan.levels]
+        self._derive_cb_pairs()
         host = {f"{li},{bi}": bd.host_arrays
                 for li, lvl in enumerate(self.levels)
                 for bi, bd in enumerate(lvl)}
         self.arrays = jax.device_put(host)
         self._jit_cache = {}
 
+    def _derive_cb_pairs(self):
+        """Convert each bucket's flat-buffer extend-add offsets into
+        (child-bucket, index-within-bucket) pairs so the numeric phase can
+        fetch child CBs with a leading-axis block take ([1, u, u]
+        contiguous slices — the efficient TPU gather pattern) instead of
+        element gathers from a flat buffer."""
+        for li, lvl in enumerate(self.levels):
+            for bd in lvl:
+                bd.pairsL, bd.pairsR = [], []
+                if li == 0:
+                    continue
+                child = self.levels[li - 1]
+                sizes = [0 if c.bp.hss_sample
+                         else c.bp.nf * c.bp.u_pad ** 2 for c in child]
+                bases = np.concatenate([[0], np.cumsum(sizes)])
+                for side in ("L", "R"):
+                    if not getattr(bd, "has_" + side):
+                        continue
+                    bp = bd.bp
+                    pos = getattr(bp, "pos" + side)
+                    off = getattr(bp, "off" + side)
+                    has = (pos >= 0).any(axis=1)
+                    bk = np.searchsorted(bases, off, side="right") - 1
+                    for j in range(len(child)):
+                        sel = has & (bk == j)
+                        if not sel.any():
+                            continue
+                        u = child[j].bp.u_pad
+                        idx = np.where(
+                            sel, (off - bases[j]) // max(u * u, 1),
+                            -1).astype(np.int32)
+                        stride = getattr(bp, "stride" + side)
+                        assert (stride[sel] == u).all()
+                        key = f"idx{side}{j}"
+                        bd.host_arrays[key] = idx
+                        getattr(bd, "pairs" + side).append((j, u, key))
+
 
 # ---------------------------------------------------------------------------
 # bucket primitives (traceable; shapes static per call site)
 # ---------------------------------------------------------------------------
 
-def _extend_add(F, cb_flat, pos, off, stride):
-    """F[f,i,j] += cb_flat[off[f] + pos[f,i]*stride[f] + pos[f,j]] (masked)."""
-    idx = (off[:, None, None] + pos[:, :, None] * stride[:, None, None]
-           + pos[:, None, :])
-    mask = (pos[:, :, None] >= 0) & (pos[:, None, :] >= 0)
-    safe = jnp.clip(idx, 0, max(cb_flat.shape[0] - 1, 0))
-    return F + jnp.where(mask, cb_flat[safe], jnp.zeros((), F.dtype))
+def _extend_add(F, cb_flat, pos, off, stride, umax=None):
+    """F[f,i,j] += cb_flat[off[f] + pos[f,i]*stride[f] + pos[f,j]] (masked).
+
+    TPU-first formulation (role of the reference's extend-add scatter,
+    FrontDense.cpp:113-152 / the batched extend_add_kernel
+    FrontCUDA.cu:115): an element-wise gather over [nf,p,p] computed
+    indices is pathologically slow on TPU (it dominated the whole
+    factorization).  Instead: (1) fetch each front's child CB block with
+    row-contiguous dynamic slices (the efficient embedding-lookup gather
+    pattern), (2) scatter it into the padded front with one-hot selection
+    matmuls F += T C T^t on the MXU — exact, since every product is
+    1.0 * v or 0."""
+    if umax is None:
+        umax = int(F.shape[1])
+    if umax == 0:
+        return F
+    nf, p, _ = F.shape
+    ii = jnp.arange(umax, dtype=jnp.int32)
+    starts = off[:, None] + ii[None, :] * stride[:, None]     # [nf, umax]
+    C = jax.vmap(jax.vmap(
+        lambda st: jax.lax.dynamic_slice(cb_flat, (st,), (umax,))))(starts)
+    m = ii[None, :] < stride[:, None]
+    C = jnp.where(m[:, :, None] & m[:, None, :], C,
+                  jnp.zeros((), F.dtype))
+    # one-hot parent-slot <- child-upd-index map (pos = -1 never matches)
+    T = (pos[:, :, None] == ii[None, None, :]).astype(F.dtype)  # [nf,p,umax]
+    CT = jnp.matmul(C, T.transpose(0, 2, 1),
+                    preferred_element_type=F.dtype)
+    return F + jnp.matmul(T, CT, preferred_element_type=F.dtype)
+
+
+def _extend_add_blocks(F, cb_list, pos, pairs, a):
+    """Extend-add from per-bucket child CB arrays.
+
+    For each contributing child bucket: fetch each front's child CB with a
+    leading-axis take (contiguous [u, u] blocks — fast on TPU, unlike the
+    element gather that used to dominate the whole factorization), then
+    scatter into the padded front with one-hot selection matmuls
+    F += T C T^t on the MXU (exact: every product is 1.0 * v or 0)."""
+    nf, p, _ = F.shape
+    for (bk, u, key) in pairs:
+        Cb = cb_list[bk]                       # [nfc, u, u]
+        idx = a[key]                           # [nf], -1 = not this bucket
+        sel = jnp.clip(idx, 0, max(Cb.shape[0] - 1, 0))
+        C = Cb[sel]
+        valid = (idx >= 0).astype(F.dtype)[:, None, None]
+        ii = jnp.arange(u, dtype=pos.dtype)
+        T = (pos[:, :, None] == ii[None, None, :]).astype(F.dtype) * valid
+        CT = jnp.matmul(C, T.transpose(0, 2, 1),
+                        preferred_element_type=F.dtype)
+        F = F + jnp.matmul(T, CT, preferred_element_type=F.dtype)
+    return F
 
 
 def _factor_bucket(F, thresh, s_pad, pivoting=True):
@@ -108,14 +195,21 @@ def _factor_bucket(F, thresh, s_pad, pivoting=True):
     Elsewhere (CPU tests, f64/complex, large fronts) the XLA path runs.
     """
     from ..ops import pallas_lu as PL
+    from ..ops import pallas_panel_lu as PP
     nf, p, _ = F.shape
     s = s_pad
-    if (PL._supports_pallas(F.dtype) and p <= PL.MAX_PALLAS_P and nf > 0
+    if (PL._supports_pallas(F.dtype) and nf > 0
             and not os.environ.get("STRUMPACK_TPU_NO_PALLAS")):
-        packed, perm = PL.pallas_factor_bucket(
-            F, thresh=thresh, s_pad=s, pivot=pivoting)
-        lu, L21, U12, CB = PL.unpack_factors(packed, s)
-        return lu, perm, L21, U12, CB
+        if p <= PL.MAX_PALLAS_P:
+            packed, perm = PL.pallas_factor_bucket(
+                F, thresh=thresh, s_pad=s, pivot=pivoting)
+            lu, L21, U12, CB = PL.unpack_factors(packed, s)
+            return lu, perm, L21, U12, CB
+        if p <= PP.MAX_PANEL_P:
+            # large fronts: blocked panel LU (Pallas panel kernel + MXU
+            # inter-panel gemms, no XLA while loops)
+            return PP.blocked_factor_bucket(F, thresh, s,
+                                            pivoting=pivoting)
     if not pivoting:
         packed = PL.nopivot_factor_bucket_xla(F, thresh, s)
         lu, L21, U12, CB = PL.unpack_factors(packed, s)
@@ -294,26 +388,30 @@ def _ext_add_vec(v, cbv_flat, pos, voff):
 # whole-phase programs
 # ---------------------------------------------------------------------------
 
-def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_flat, thresh, tol,
+def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
                         spd, hss_tol, out, pivoting=True):
     """Assemble + partially factor one bucket; records factors in ``out``
-    and returns the bucket's flattened CB (the shared body of the whole-
-    program and split-program factor paths)."""
+    and returns the bucket's CB blocks [nf, u, u] (the shared body of the
+    whole-program and split-program factor paths)."""
     bp = bd.bp
     dtype = vals_ext.dtype
     key = f"{li},{bi}"
     if bp.hss_sample:
+        # the sampling closure reads child CBs by static offsets into a
+        # flat view (samp_meta); build it on demand
+        cb_flat = (jnp.concatenate([c.reshape(-1) for c in cb_list])
+                   if cb_list else jnp.zeros((0,), dtype))
         H = _hss_sample_front(bp, a, vals_ext, cb_flat, hss_tol, dtype,
                               seed=li * 131 + bi)
         out["hss"][key] = (H, None, None)
-        return jnp.zeros((0,), dtype)
+        return jnp.zeros((bp.nf, 0, 0), dtype)
     F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
     F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
         vals_ext[a["asm_vidx"]])
     if bd.has_L:
-        F = _extend_add(F, cb_flat, a["posL"], a["offL"], a["strideL"])
+        F = _extend_add_blocks(F, cb_list, a["posL"], bd.pairsL, a)
     if bd.has_R:
-        F = _extend_add(F, cb_flat, a["posR"], a["offR"], a["strideR"])
+        F = _extend_add_blocks(F, cb_list, a["posR"], bd.pairsR, a)
     if bp.blr:
         from . import blr as B
         t = bp.tile
@@ -345,7 +443,7 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_flat, thresh, tol,
         out["perm"][key] = perm
         out["L21"][key] = L21
         out["U12"][key] = U12
-    return CB.reshape(-1)
+    return CB
 
 
 def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
@@ -355,15 +453,12 @@ def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
         [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
     out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
            "blr_ranks": {}, "hss": {}}
-    cb_flat = jnp.zeros((0,), dtype=dtype)
+    cb_list = []
     for li, level in enumerate(pdev.levels):
-        cb_parts = []
-        for bi, bd in enumerate(level):
-            cb_parts.append(_bucket_factor_step(
-                li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_flat,
-                thresh, tol, spd, hss_tol, out, pivoting=pivoting))
-        cb_flat = (jnp.concatenate(cb_parts) if cb_parts
-                   else jnp.zeros((0,), dtype=dtype))
+        cb_list = [_bucket_factor_step(
+            li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_list,
+            thresh, tol, spd, hss_tol, out, pivoting=pivoting)
+            for bi, bd in enumerate(level)]
     return out
 
 
@@ -400,8 +495,11 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_flat):
         s = bp.s_pad
         L = fac_tree["lu"][key]
         L21 = fac_tree["L21"][key]
-        y = jax.lax.linalg.triangular_solve(
-            L, bloc[:, :s], left_side=True, lower=True)
+        if TS.use_loopfree(dtype):
+            y = TS.trsm_lower(L, bloc[:, :s])
+        else:
+            y = jax.lax.linalg.triangular_solve(
+                L, bloc[:, :s], left_side=True, lower=True)
         cbv = bloc[:, s:] - jnp.matmul(L21, y, preferred_element_type=dtype)
     else:
         s = bp.s_pad
@@ -409,8 +507,11 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_flat):
         perm = fac_tree["perm"][key]
         L21 = _dequantize(fac_tree["L21"][key], dtype)
         bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
-        y = jax.lax.linalg.triangular_solve(
-            lu, bsep, left_side=True, lower=True, unit_diagonal=True)
+        if TS.use_loopfree(dtype):
+            y = TS.trsm_lower(lu, bsep, unit=True)
+        else:
+            y = jax.lax.linalg.triangular_solve(
+                lu, bsep, left_side=True, lower=True, unit_diagonal=True)
         cbv = bloc[:, s:] - jnp.matmul(L21, y, preferred_element_type=dtype)
     return y, cbv.reshape(-1, nrhs)
 
@@ -441,15 +542,21 @@ def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
         L21 = fac_tree["L21"][key]
         z = y - jnp.matmul(L21.conj().transpose(0, 2, 1), xupd,
                            preferred_element_type=dtype)
-        xsep = jax.lax.linalg.triangular_solve(
-            L, z, left_side=True, lower=True, transpose_a=True,
-            conjugate_a=True)
+        if TS.use_loopfree(dtype):
+            xsep = TS.trsm_upper(L.conj().transpose(0, 2, 1), z)
+        else:
+            xsep = jax.lax.linalg.triangular_solve(
+                L, z, left_side=True, lower=True, transpose_a=True,
+                conjugate_a=True)
     else:
         lu = _dequantize(fac_tree["lu"][key], dtype)
         U12 = _dequantize(fac_tree["U12"][key], dtype)
         z = y - jnp.matmul(U12, xupd, preferred_element_type=dtype)
-        xsep = jax.lax.linalg.triangular_solve(
-            lu, z, left_side=True, lower=False)
+        if TS.use_loopfree(dtype):
+            xsep = TS.trsm_upper(lu, z)
+        else:
+            xsep = jax.lax.linalg.triangular_solve(
+                lu, z, left_side=True, lower=False)
     xext = xext.at[a["sep_glob"].reshape(-1)].set(xsep.reshape(-1, nrhs))
     return xext.at[n].set(jnp.zeros((nrhs,), dtype))
 
@@ -565,19 +672,15 @@ class Factors:
 
 
 def _factor_level(pdev, li, spd, hss_tol, pivoting, arrays, vals_ext,
-                  cb_flat, thresh, tol):
+                  cb_list, thresh, tol):
     """One level of the factorization (split-program mode)."""
-    dtype = vals_ext.dtype
     out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
            "blr_ranks": {}, "hss": {}}
-    cb_parts = []
-    for bi, bd in enumerate(pdev.levels[li]):
-        cb_parts.append(_bucket_factor_step(
-            li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_flat,
-            thresh, tol, spd, hss_tol, out, pivoting=pivoting))
-    cb_flat = (jnp.concatenate(cb_parts) if cb_parts
-               else jnp.zeros((0,), dtype=dtype))
-    return out, cb_flat
+    cb_list = [_bucket_factor_step(
+        li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_list,
+        thresh, tol, spd, hss_tol, out, pivoting=pivoting)
+        for bi, bd in enumerate(pdev.levels[li])]
+    return out, cb_list
 
 
 def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
@@ -611,7 +714,7 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
     with jax.default_matmul_precision(matmul_precision):
         vals_ext = jnp.concatenate(
             [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
-        cb_flat = jnp.zeros((0,), dtype=dtype)
+        cb_list = []
         for li in range(len(pdev.levels)):
             key = ("factor_lvl", li, dtype.name, spd, hss_tol,
                    matmul_precision, pivoting)
@@ -620,8 +723,8 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
                 fn = jax.jit(partial(_factor_level, pdev, li, spd, hss_tol,
                                      pivoting))
                 pdev._jit_cache[key] = fn
-            out, cb_flat = fn(pdev.arrays, vals_ext,
-                              cb_flat, jnp.asarray(thresh, rdt),
+            out, cb_list = fn(pdev.arrays, vals_ext,
+                              cb_list, jnp.asarray(thresh, rdt),
                               jnp.asarray(blr_tol, rdt))
             for k in tree:
                 tree[k].update(out[k])

@@ -1,0 +1,167 @@
+"""Pallas TPU blocked panel LU for large fronts.
+
+Role of the reference's big-front factorization (cuSOLVER getrf per stream,
+``FrontGPU.cpp:558+``; ScaLAPACK pgetrf for MPI fronts).  The TPU problem
+it solves is different from the GPU one: ``jax.lax.linalg.lu`` /
+``triangular_solve`` iterate column-by-column with XLA ``while`` loops, and
+on TPU every while iteration pays a fixed sync cost (measured ~0.65 ms on
+the target platform) — an s=1024 front costs seconds in loop overhead
+alone.  Here the entire column loop runs *inside* one Pallas kernel
+(a hardware loop on-core), and everything between panels is MXU work:
+
+* the matrix is eliminated in ``w``-wide panels (w = 128 = one lane tile);
+* the **panel kernel** factors a full-height ``[p, w]`` panel with
+  in-register partial pivoting (masked argmax + masked row swaps, same
+  technique as ops/pallas_lu.py), tiny-pivot replacement, and emits the
+  packed panel plus the full-height applied-form row permutation;
+* between panels everything is XLA one-shot ops: one gather applies the
+  row permutation to the other columns (LAPACK getrf semantics: swaps
+  span the full row), ``L11^{-1}`` comes from an **exact Neumann-product
+  inversion** of the w x w unit-lower block (``inv(I-N) =
+  (I+N)(I+N^2)(I+N^4)...``, N strictly lower so N^w = 0 — log2(w) MXU
+  matmuls; partial pivoting bounds |N| entries by 1), then
+  ``U12 = L11^{-1} A12`` and ``A22 -= L21 U12`` run on the MXU.  The
+  panel loop itself is a statically unrolled Python loop (s/w <= 8
+  iterations) — the compiled program contains **no XLA while loops**.
+
+Output is the same packed layout as ops/pallas_lu.py: [:s,:s] = L\\U of
+P F11, [:s,s:] = U12, [s:,:s] = L21, [s:,s:] = CB, plus the applied-form
+row permutation.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .trisolve import trsm_unit_lower
+
+PANEL_W = 128
+MAX_PANEL_P = 8192      # [p, w] f32 panel in VMEM: 4 MB at p=8192
+
+
+def _panel_kernel(thresh_ref, A_ref, out_ref, perm_ref, *,
+                  row0, w, slim, p, pivot):
+    """Eliminate the w columns of one full-height panel, diagonal at
+    ``row0``; pivot rows restricted to [row0+k, slim)."""
+    G = A_ref[0]                            # [p, w]
+    thresh = thresh_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    P0 = jnp.broadcast_to(rows, (p, 1)).astype(jnp.int32)
+
+    def step(k, carry):
+        G, P = carry
+        r = row0 + k
+        colk = jnp.sum(jnp.where(cols == k, G, 0.0), axis=1,
+                       keepdims=True)       # [p, 1]
+        if pivot:
+            colk_a = jnp.where((rows >= r) & (rows < slim),
+                               jnp.abs(colk), -1.0)
+            amax = jnp.max(colk_a, axis=0, keepdims=True)   # [1, 1]
+            cand = jnp.where(colk_a == amax, rows, p)
+            rpiv = jnp.min(cand, axis=0, keepdims=True)     # [1, 1]
+            is_k, is_r = rows == r, rows == rpiv
+            gk = jnp.sum(jnp.where(is_k, G, 0.0), axis=0, keepdims=True)
+            gr = jnp.sum(jnp.where(is_r, G, 0.0), axis=0, keepdims=True)
+            G = jnp.where(is_r, jnp.broadcast_to(gk, (p, w)), G)
+            G = jnp.where(is_k, jnp.broadcast_to(gr, (p, w)), G)
+            pk = jnp.sum(jnp.where(is_k, P, 0), axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            pr = jnp.sum(jnp.where(is_r, P, 0), axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            P = jnp.where(is_r, jnp.broadcast_to(pk, (p, 1)), P)
+            P = jnp.where(is_k, jnp.broadcast_to(pr, (p, 1)), P)
+            colk = jnp.sum(jnp.where(cols == k, G, 0.0), axis=1,
+                           keepdims=True)
+        piv = jnp.sum(jnp.where(rows == r, colk, 0.0), axis=0,
+                      keepdims=True)        # [1, 1]
+        piv = jnp.where(jnp.abs(piv) < thresh,
+                        jnp.where(piv == 0, thresh,
+                                  jnp.sign(piv) * thresh), piv)
+        m = jnp.where(rows > r, colk / piv, 0.0)            # [p, 1]
+        rowk = jnp.sum(jnp.where(rows == r, G, 0.0), axis=0,
+                       keepdims=True)       # [1, w]
+        G = G - m * jnp.where(cols > k, rowk, 0.0)
+        G = jnp.where((cols == k) & (rows > r),
+                      jnp.broadcast_to(m, (p, w)), G)
+        G = jnp.where((cols == k) & (rows == r),
+                      jnp.broadcast_to(piv, (p, w)), G)
+        return G, P
+
+    G, P = jax.lax.fori_loop(0, w, step, (G, P0))
+    out_ref[0] = G
+    # perm as [8, p] (8 identical sublane rows): Mosaic requires the
+    # second-to-last block dim divisible by 8
+    perm_ref[0] = jnp.broadcast_to(P[:, 0][None, :], (8, p))
+
+
+@partial(jax.jit, static_argnames=("row0", "w", "slim", "pivot",
+                                   "interpret"))
+def pallas_panel_lu(panel, thresh, row0, w, slim, pivot=True,
+                    interpret=False):
+    """Factor one full-height [nf, p, w] panel per front; diagonal block
+    at rows row0..row0+w.  Returns (packed panel, perm [nf, p])."""
+    nf, p, _ = panel.shape
+    thresh = jnp.reshape(jnp.asarray(thresh, panel.dtype), (1,))
+    out, perm = pl.pallas_call(
+        partial(_panel_kernel, row0=row0, w=w, slim=slim, p=p, pivot=pivot),
+        grid=(nf,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, p, w), lambda f: (f, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, w), lambda f: (f, 0, 0)),
+            pl.BlockSpec((1, 8, p), lambda f: (f, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((nf, p, w), panel.dtype),
+                   jax.ShapeDtypeStruct((nf, 8, p), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(thresh, panel)
+    return out, perm[:, 0, :]
+
+
+def blocked_factor_bucket(F, thresh, s_pad, pivoting=True, panel_w=PANEL_W,
+                          interpret=False):
+    """Blocked partial LU of a bucket of identity-padded fronts.
+
+    Same contract as numeric._factor_bucket: returns
+    (lu [nf,s,s], perm [nf,s], L21 [nf,u,s], U12 [nf,s,u], CB [nf,u,u]).
+    """
+    nf, p, _ = F.shape
+    s = int(s_pad)
+    G = F
+    ptot = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (nf, p))
+    jb = 0
+    while jb < s:
+        w = min(panel_w, s - jb)
+        pan = jax.lax.dynamic_slice_in_dim(G, jb, w, axis=2)
+        pan, pj = pallas_panel_lu(pan, thresh, row0=jb, w=w, slim=s,
+                                  pivot=pivoting, interpret=interpret)
+        if pivoting:
+            # apply the swaps to all other columns, then paste the
+            # factored panel (already swapped in-kernel)
+            G = jnp.take_along_axis(G, pj[:, :, None], axis=1)
+            ptot = jnp.take_along_axis(ptot, pj, axis=1)
+        G = jax.lax.dynamic_update_slice_in_dim(G, pan, jb, axis=2)
+        if jb + w < p:
+            L11 = pan[:, jb:jb + w, :]
+            A12 = G[:, jb:jb + w, jb + w:]
+            U12 = trsm_unit_lower(L11, A12)
+            L21 = pan[:, jb + w:, :]
+            G = jax.lax.dynamic_update_slice(G, U12, (0, jb, jb + w))
+            G = jax.lax.dynamic_update_slice(
+                G, G[:, jb + w:, jb + w:]
+                - jnp.matmul(L21, U12, preferred_element_type=F.dtype),
+                (0, jb + w, jb + w))
+        jb += w
+    return (G[:, :s, :s], ptot[:, :s], G[:, s:, :s], G[:, :s, s:],
+            G[:, s:, s:])
