@@ -376,12 +376,20 @@ def _hss_solve_fwd(bp, entry, bloc, dtype):
     return y, cbv
 
 
-def _ext_add_vec(v, cbv_flat, pos, voff):
-    idx = voff[:, None] + pos
-    mask = pos >= 0
-    safe = jnp.clip(idx, 0, max(cbv_flat.shape[0] - 1, 0))
-    return v + jnp.where(mask[:, :, None], cbv_flat[safe],
-                         jnp.zeros((), v.dtype))
+def _ext_add_vec(v, cbv_list, pos, pairs, a):
+    """Solve-phase extend-add from per-bucket child CB vectors
+    [nfc, u, nrhs]: leading-axis block take + one one-hot matmul per
+    contributing child bucket (same pattern as _extend_add_blocks)."""
+    for (bk, u, key) in pairs:
+        Cv = cbv_list[bk]                      # [nfc, u, nrhs]
+        idx = a[key]
+        sel = jnp.clip(idx, 0, max(Cv.shape[0] - 1, 0))
+        C = Cv[sel]
+        valid = (idx >= 0).astype(v.dtype)[:, None, None]
+        ii = jnp.arange(u, dtype=pos.dtype)
+        T = (pos[:, :, None] == ii[None, None, :]).astype(v.dtype) * valid
+        v = v + jnp.matmul(T, C, preferred_element_type=v.dtype)
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -462,9 +470,9 @@ def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
     return out
 
 
-def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_flat):
+def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
     """Forward-solve one bucket: gather rhs + children's solve CBs, apply
-    the front's lower factor.  Returns (y, cbv)."""
+    the front's lower factor.  Returns (y, cbv [nf, u, nrhs])."""
     bp = bd.bp
     key = f"{li},{bi}"
     dtype = bext.dtype
@@ -473,9 +481,9 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_flat):
         [bext[a["sep_glob"]],
          jnp.zeros((bp.nf, bp.u_pad, nrhs), dtype)], axis=1)
     if bd.has_L:
-        bloc = _ext_add_vec(bloc, cbv_flat, a["posL"], a["voffL"])
+        bloc = _ext_add_vec(bloc, cbv_list, a["posL"], bd.pairsL, a)
     if bd.has_R:
-        bloc = _ext_add_vec(bloc, cbv_flat, a["posR"], a["voffR"])
+        bloc = _ext_add_vec(bloc, cbv_list, a["posR"], bd.pairsR, a)
     if bp.hss_sample:
         H, _, _ = fac_tree["hss"][key]
         ds = bp.samp_meta["ds"]
@@ -513,7 +521,7 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_flat):
             y = jax.lax.linalg.triangular_solve(
                 lu, bsep, left_side=True, lower=True, unit_diagonal=True)
         cbv = bloc[:, s:] - jnp.matmul(L21, y, preferred_element_type=dtype)
-    return y, cbv.reshape(-1, nrhs)
+    return y, cbv
 
 
 def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
@@ -570,16 +578,15 @@ def _solve_impl(pdev, arrays, fac_tree, b):
     bext = jnp.concatenate([b, jnp.zeros((1, nrhs), dtype)], axis=0)
 
     ys = {}
-    cbv_flat = jnp.zeros((0, nrhs), dtype=dtype)
+    cbv_list = []
     for li, level in enumerate(pdev.levels):
         parts = []
         for bi, bd in enumerate(level):
             y, cbv = _bucket_fwd_step(li, bi, bd, arrays[f"{li},{bi}"],
-                                      fac_tree, bext, cbv_flat)
+                                      fac_tree, bext, cbv_list)
             ys[f"{li},{bi}"] = y
             parts.append(cbv)
-        cbv_flat = (jnp.concatenate(parts) if parts
-                    else jnp.zeros((0, nrhs), dtype))
+        cbv_list = parts
 
     xext = jnp.zeros((n + 1, nrhs), dtype=dtype)
     for li in range(len(pdev.levels) - 1, -1, -1):
@@ -733,20 +740,16 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
     return fac
 
 
-def _solve_fwd_level(pdev, li, arrays, fac_tree, bext, cbv_flat):
+def _solve_fwd_level(pdev, li, arrays, fac_tree, bext, cbv_list):
     """One forward-sweep level (split-program mode for very large plans)."""
-    dtype = bext.dtype
-    nrhs = bext.shape[1]
     ys = []
     parts = []
     for bi, bd in enumerate(pdev.levels[li]):
         y, cbv = _bucket_fwd_step(li, bi, bd, arrays[f"{li},{bi}"],
-                                  fac_tree, bext, cbv_flat)
+                                  fac_tree, bext, cbv_list)
         ys.append(y)
         parts.append(cbv)
-    cbv_flat = (jnp.concatenate(parts) if parts
-                else jnp.zeros((0, nrhs), dtype))
-    return ys, cbv_flat
+    return ys, parts
 
 
 def _solve_bwd_level(pdev, li, arrays, fac_tree, ys, xext):
@@ -791,7 +794,7 @@ def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
     with jax.default_matmul_precision(matmul_precision):
         bext = jnp.concatenate([b, jnp.zeros((1, nrhs), b.dtype)], axis=0)
         all_ys = {}
-        cbv_flat = jnp.zeros((0, nrhs), dtype=b.dtype)
+        cbv_list = []
         for li in range(len(pdev.levels)):
             key = ("solve_fwd", li, jnp.dtype(fac.dtype).name, nrhs, spd,
                    matmul_precision)
@@ -799,7 +802,7 @@ def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
             if fn is None:
                 fn = jax.jit(partial(_solve_fwd_level, pdev, li))
                 pdev._jit_cache[key] = fn
-            ys, cbv_flat = fn(pdev.arrays, fac.tree, bext, cbv_flat)
+            ys, cbv_list = fn(pdev.arrays, fac.tree, bext, cbv_list)
             all_ys[li] = ys
         xext = jnp.zeros((n + 1, nrhs), dtype=b.dtype)
         for li in range(len(pdev.levels) - 1, -1, -1):
