@@ -92,8 +92,7 @@ class PlanDev:
                 if li == 0:
                     continue
                 child = self.levels[li - 1]
-                sizes = [0 if c.bp.hss_sample
-                         else c.bp.nf * c.bp.u_pad ** 2 for c in child]
+                sizes = [c.bp.nf * c.bp.u_pad ** 2 for c in child]
                 bases = np.concatenate([[0], np.cumsum(sizes)])
                 for side in ("L", "R"):
                     if not getattr(bd, "has_" + side):
@@ -298,71 +297,131 @@ def _hss_front_bucket(F, bp, hss_tol, dtype):
     return jax.vmap(one)(F)
 
 
-def _hss_sample_front(bp, a, vals_ext, cb_flat, hss_tol, dtype, seed):
-    """Sampling-constructed HSS root front (FrontHSS::random_sampling,
-    FrontHSS.cpp:241, + element_extraction): F11 = A(sep,sep) + sum_c E
-    CB_c E^T is never assembled.  The HSS form is built from
+def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
+    """Sampling-constructed HSS fronts — root AND interior
+    (FrontHSS::random_sampling, FrontHSS.cpp:241, + element_extraction):
+    the dense front is never assembled.  Per front (vmapped over the
+    bucket):
 
-    * a matvec closure = ELL spmv on the sparse block (the reference's
-      ``A.front_multiply`` role, CSRMatrix.hpp:116-160) + dense products
-      with the children's contribution blocks gathered straight out of the
-      previous level's flat CB buffer (the ``sample_CB`` role), and
+    * a matvec closure over the whole padded front = ELL spmv on the
+      sparse block (the reference's ``A.front_multiply`` role,
+      CSRMatrix.hpp:116-160; F11 identity padding baked into the ELL) +
+      dense products with the children's contribution blocks fetched via
+      the extend-add pairs (the ``sample_CB`` role);
     * an element-extraction closure = ELL lookup + CB entry gathers
-      (the D/B-generator extraction role),
+      (the D/B-generator extraction role);
+    * F11 compressed as HSS from sampling and ULV-factored;
+    * interior fronts (u > 0): F12/F21 captured as low-rank interpolative
+      factors from randomized row samples (the Theta/Phi role of
+      FrontHSS::Schur_update), W = F11^{-1} X12 by HSS solve, and the
+      contribution block formed as CB = F22 - X21 (F21r W) F12r — F22 is
+      pure child-CB data (A's (upd,upd) entries belong to ancestors), so
+      no dense (s+u)^2 front ever exists.
 
-    then ULV-factored.  Removes the O(sep^2) dense assembly and O(sep^3)
-    LU of the root separator."""
-    meta = bp.samp_meta
-    ds = meta["ds"]
+    Returns (H, S12pair, F21pair, CB) with S12pair = (W, F12r) so the
+    backward solve applies F11^{-1} F12 as two skinny matmuls, F21pair =
+    (X21, F21r) likewise for the forward solve."""
+    p = bp.samp_meta["p"]
+    sP, uP = bp.s_pad, bp.u_pad
+    nf = bp.nf
+    r2 = max(4, int(bp.hss_rank))
+    d2 = r2 + 16
 
-    sides = []
-    for side in ("L", "R"):
-        if meta["has" + side]:
-            off, stride = meta["off" + side], meta["stride" + side]
-            CBc = cb_flat[off:off + stride * stride].reshape(stride, stride)
-            sides.append((a["samp_pos" + side], CBc))
+    # children CB blocks via the extend-add pairs: [nf, uc, uc] + validity
+    side_data = []
+    for pairs, poskey in ((bd.pairsL, "posL"), (bd.pairsR, "posR")):
+        for (bk, uc, key) in pairs:
+            Cb = cb_list[bk]
+            idx = a[key]
+            selc = jnp.clip(idx, 0, max(Cb.shape[0] - 1, 0))
+            C = Cb[selc] * (idx >= 0).astype(dtype)[:, None, None]
+            side_data.append((a[poskey], C))
 
-    def mult(X, trans):
-        if trans:
-            cols, vidx = a["samp_ellT_cols"], a["samp_ellT_vidx"]
-        else:
-            cols, vidx = a["samp_ell_cols"], a["samp_ell_vidx"]
-        vals = vals_ext[vidx]
-        if trans:
-            vals = vals.conj()
-        y = jnp.einsum("ik,ikd->id", vals, X[cols],
-                       preferred_element_type=X.dtype)
-        for pos, CBc in sides:
-            stride = CBc.shape[0]
-            safe = jnp.where(pos >= 0, pos, stride)
-            z = jnp.zeros((stride + 1, X.shape[1]), X.dtype).at[safe].set(X)
-            M = CBc.conj().T if trans else CBc
-            w = jnp.matmul(M, z[:stride], preferred_element_type=X.dtype)
-            y = y + jnp.where(pos[:, None] >= 0, w[jnp.clip(pos, 0)],
-                              jnp.zeros((), X.dtype))
-        return y
+    def one(ell, ellT, sides):
+        """Build + factor one front from its closures; sides is a list of
+        (pos [p], C [uc, uc])."""
+        def mult_full(X, trans):
+            cols, vidx = ellT if trans else ell
+            vals = vals_ext[vidx]
+            if trans:
+                vals = vals.conj()
+            y = jnp.einsum("ik,ikd->id", vals, X[cols],
+                           preferred_element_type=X.dtype)
+            for pos, C in sides:
+                uc = C.shape[0]
+                safe = jnp.where(pos >= 0, pos, p)
+                z = jnp.zeros((p + 1, X.shape[1]), X.dtype
+                              ).at[safe].add(X)
+                M = C.conj().T if trans else C
+                w = jnp.matmul(M, z[:uc], preferred_element_type=X.dtype)
+                wpad = jnp.concatenate(
+                    [w, jnp.zeros((1, X.shape[1]), X.dtype)])
+                y = y + wpad[jnp.where((pos >= 0) & (pos < uc),
+                                       pos, uc)]
+            return y
 
-    def elem(I, J):
-        I2, J2 = jnp.broadcast_arrays(I, J)
-        Ic = jnp.clip(I2, 0, ds - 1)
-        Jc = jnp.clip(J2, 0, ds - 1)
-        cols = a["samp_ell_cols"][Ic]
-        vals = vals_ext[a["samp_ell_vidx"][Ic]]
-        out = jnp.sum(vals * (cols == J2[..., None]), axis=-1)
-        for pos, CBc in sides:
-            pi = pos[Ic]
-            pj = pos[Jc]
-            ok = (pi >= 0) & (pj >= 0)
-            cbv = CBc[jnp.clip(pi, 0), jnp.clip(pj, 0)]
-            out = out + jnp.where(ok, cbv, jnp.zeros((), cbv.dtype))
-        return out.astype(dtype)
+        def elem_full(I, J):
+            I2, J2 = jnp.broadcast_arrays(I, J)
+            cols = ell[0][I2]
+            vals = vals_ext[ell[1][I2]]
+            out = jnp.sum(vals * (cols == J2[..., None]), axis=-1)
+            for pos, C in sides:
+                uc = C.shape[0]
+                pi, pj = pos[I2], pos[J2]
+                ok = (pi >= 0) & (pj >= 0) & (pi < uc) & (pj < uc)
+                cbv = C[jnp.clip(pi, 0, uc - 1), jnp.clip(pj, 0, uc - 1)]
+                out = out + jnp.where(ok, cbv, jnp.zeros((), cbv.dtype))
+            return out.astype(dtype)
 
-    from ..structured.hss_sample import hss_from_sampling
-    H = hss_from_sampling(mult, elem, ds, leaf_size=bp.hss_leaf,
-                          max_rank=bp.hss_rank, oversample=16,
-                          rel_tol=hss_tol, dtype=dtype, seed=seed)
-    H.factor()
-    return H
+        def mult11(X, trans):
+            Xf = jnp.zeros((p, X.shape[1]), X.dtype).at[:sP].set(X)
+            return mult_full(Xf, trans)[:sP]
+
+        from ..structured.hss_sample import hss_from_sampling, _id_rows
+        H = hss_from_sampling(mult11, elem_full, sP, leaf_size=bp.hss_leaf,
+                              max_rank=bp.hss_rank, oversample=16,
+                              rel_tol=hss_tol, dtype=dtype, seed=seed)
+        H.factor()
+        if uP == 0:
+            return H, None, None, jnp.zeros((0, 0), dtype)
+
+        tol = jnp.asarray(hss_tol, jnp.real(jnp.zeros((), dtype)).dtype)
+        key2 = jax.random.PRNGKey(seed + 7)
+        kA, kB = jax.random.split(key2)
+        # F12 row basis from samples F12 R2 (randomized interpolative ID)
+        R2 = jax.random.normal(kA, (uP, d2), dtype)
+        S12 = mult_full(jnp.zeros((p, d2), dtype).at[sP:].set(R2),
+                        False)[:sP]
+        X12, J12, _ = _id_rows(S12[None], tol, r2)
+        X12, J12 = X12[0], J12[0]
+        # F21 row basis from samples F21 R1
+        R1 = jax.random.normal(kB, (sP, d2), dtype)
+        S21 = mult_full(jnp.zeros((p, d2), dtype).at[:sP].set(R1),
+                        False)[sP:]
+        X21, J21, _ = _id_rows(S21[None], tol, r2)
+        X21, J21 = X21[0], J21[0]
+        iu = jnp.arange(uP, dtype=jnp.int32)
+        F12r = elem_full(J12[:, None], (sP + iu)[None, :])     # [r2, u]
+        F21r = elem_full((sP + J21)[:, None],
+                         jnp.arange(sP, dtype=jnp.int32)[None, :])
+        W = H.solve(X12)                                       # [sP, r2]
+        F22 = elem_full((sP + iu)[:, None], (sP + iu)[None, :])
+        CB = F22 - jnp.matmul(
+            X21, jnp.matmul(jnp.matmul(F21r, W), F12r,
+                            preferred_element_type=dtype),
+            preferred_element_type=dtype)
+        return H, (W, F12r), (X21, F21r), CB
+
+    ell_all = (a["samp_ell_cols"], a["samp_ell_vidx"])
+    ellT_all = (a["samp_ellT_cols"], a["samp_ellT_vidx"])
+    if nf == 1:
+        H, S12, F21, CB = one(
+            jax.tree_util.tree_map(lambda x: x[0], ell_all),
+            jax.tree_util.tree_map(lambda x: x[0], ellT_all),
+            [(pos[0], C[0]) for pos, C in side_data])
+        return H, S12, F21, CB[None]
+    H, S12, F21, CB = jax.vmap(one)(ell_all, ellT_all, side_data)
+    return H, S12, F21, CB
 
 
 def _hss_solve_fwd(bp, entry, bloc, dtype):
@@ -405,14 +464,11 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
     dtype = vals_ext.dtype
     key = f"{li},{bi}"
     if bp.hss_sample:
-        # the sampling closure reads child CBs by static offsets into a
-        # flat view (samp_meta); build it on demand
-        cb_flat = (jnp.concatenate([c.reshape(-1) for c in cb_list])
-                   if cb_list else jnp.zeros((0,), dtype))
-        H = _hss_sample_front(bp, a, vals_ext, cb_flat, hss_tol, dtype,
-                              seed=li * 131 + bi)
-        out["hss"][key] = (H, None, None)
-        return jnp.zeros((bp.nf, 0, 0), dtype)
+        H, S12, F21, CB = _hss_sample_front(bp, bd, a, vals_ext, cb_list,
+                                            hss_tol, dtype,
+                                            seed=li * 131 + bi)
+        out["hss"][key] = (H, S12, F21)
+        return CB
     F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
     F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
         vals_ext[a["asm_vidx"]])
@@ -485,11 +541,18 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
     if bd.has_R:
         bloc = _ext_add_vec(bloc, cbv_list, a["posR"], bd.pairsR, a)
     if bp.hss_sample:
-        H, _, _ = fac_tree["hss"][key]
-        ds = bp.samp_meta["ds"]
-        y = jnp.zeros((bp.nf, bp.s_pad, nrhs), dtype).at[0, :ds].set(
-            H.solve(bloc[0, :ds]))
-        cbv = bloc[:, bp.s_pad:]
+        H, S12, F21 = fac_tree["hss"][key]
+        s = bp.s_pad
+        if bp.nf == 1:
+            y = H.solve(bloc[0, :s])[None]
+        else:
+            y = jax.vmap(lambda h, b: h.solve(b))(H, bloc[:, :s])
+        cbv = bloc[:, s:]
+        if F21 is not None:
+            X21, F21r = F21
+            cbv = cbv - jnp.matmul(
+                X21, jnp.matmul(F21r, y, preferred_element_type=dtype),
+                preferred_element_type=dtype)
     elif bp.blr:
         from . import blr as B
         lud, perms, Uu, Vu, Ul, Vl, Du, Dl = fac_tree["blr"][key]
@@ -534,7 +597,14 @@ def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
     n = xext.shape[0] - 1
     xupd = xext[a["upd_glob"]]
     if bp.hss_sample:
-        xsep = y
+        _, S12, _ = fac_tree["hss"][key]
+        if S12 is None:
+            xsep = y
+        else:
+            W, F12r = S12
+            xsep = y - jnp.matmul(
+                W, jnp.matmul(F12r, xupd, preferred_element_type=dtype),
+                preferred_element_type=dtype)
     elif bp.blr:
         from . import blr as B
         lud, perms, Uu, Vu, Ul, Vl, Du, Dl = fac_tree["blr"][key]

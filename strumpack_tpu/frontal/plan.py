@@ -251,8 +251,9 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                                                   CompressionType.HODLR)
                         and sp >= compression.compression_min_sep_size):
                     if compression.compression == CompressionType.HSS:
-                        if (getattr(compression.hss, "sampling", False)
-                                and up == 0 and nfr == 1):
+                        if getattr(compression.hss, "sampling", False):
+                            # sampling-constructed fronts (root AND
+                            # interior): never assemble the dense front
                             bp.hss_sample = True
                         else:
                             bp.hss = True
@@ -324,29 +325,46 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
         for bi_b, bp in enumerate(level_buckets):
             m = keep & (ebkt == bi_b)
             if bp.hss_sample:
-                # sampling front: no dense assembly — store the sparse block
-                # as ELL (rows of A11 in local sep indexing, value indices
-                # into vals_ext so update_matrix_values reuses the plan) and
-                # the CB position maps as static metadata.
-                f = int(bp.fronts[0])
-                ds0 = int(bp.ds[0])
-                sb0 = int(tree.sep_begin[f])
-                rr = (er[m] - sb0).astype(np.int64)
-                cc = (ec[m] - sb0).astype(np.int64)
-                vv = ev[m]
-                cols, vidx = _build_ell(rr, cc, vv, ds0, nnz)
-                colsT, vidxT = _build_ell(cc, rr, vv, ds0, nnz)
+                # sampling fronts: no dense assembly — store the sparse
+                # block as per-front ELL in PADDED front-local slot
+                # indexing (rows/cols = front slots 0..p; F11 identity-
+                # padding entries baked in so the closures need no
+                # per-front sizes; value indices point into vals_ext so
+                # update_matrix_values reuses the plan).  Children-CB
+                # position maps are the regular posL/posR slot maps; the
+                # child blocks themselves come from the extend-add pairs.
+                bidx_s = batch_of[eo[m]]
+                rr_s, cc_s, vv_s = rpos[m], cpos[m], ev[m]
+                per = []
+                for bi in range(bp.nf):
+                    fm = bidx_s == bi
+                    dsb = int(bp.ds[bi])
+                    padi = np.arange(dsb, bp.s_pad, dtype=np.int64)
+                    r1 = np.concatenate([rr_s[fm], padi])
+                    c1 = np.concatenate([cc_s[fm], padi])
+                    v1 = np.concatenate(
+                        [vv_s[fm], np.full(len(padi), nnz + 1,
+                                           dtype=np.int64)])
+                    per.append((_build_ell(r1, c1, v1, p, nnz),
+                                _build_ell(c1, r1, v1, p, nnz)))
+                wmax = max(e[0][0].shape[1] for e in per)
+                wmaxT = max(e[1][0].shape[1] for e in per)
+
+                def padw(cols, vidx, w):
+                    k = cols.shape[1]
+                    if k == w:
+                        return cols, vidx
+                    return (np.pad(cols, ((0, 0), (0, w - k))),
+                            np.pad(vidx, ((0, 0), (0, w - k)),
+                                   constant_values=nnz))
+                E = [padw(*e[0], wmax) for e in per]
+                ET = [padw(*e[1], wmaxT) for e in per]
                 bp.samp = dict(
-                    samp_ell_cols=cols, samp_ell_vidx=vidx,
-                    samp_ellT_cols=colsT, samp_ellT_vidx=vidxT,
-                    samp_posL=bp.posL[0, :ds0].astype(np.int32),
-                    samp_posR=bp.posR[0, :ds0].astype(np.int32))
-                bp.samp_meta = dict(
-                    ds=ds0,
-                    hasL=bool(tree.lch[f] >= 0),
-                    hasR=bool(tree.rch[f] >= 0),
-                    offL=int(bp.offL[0]), strideL=int(bp.strideL[0]),
-                    offR=int(bp.offR[0]), strideR=int(bp.strideR[0]))
+                    samp_ell_cols=np.stack([e[0] for e in E]),
+                    samp_ell_vidx=np.stack([e[1] for e in E]),
+                    samp_ellT_cols=np.stack([e[0] for e in ET]),
+                    samp_ellT_vidx=np.stack([e[1] for e in ET]))
+                bp.samp_meta = dict(p=p)
                 z32 = np.zeros(0, dtype=np.int32)
                 bp.asm_bidx = bp.asm_r = bp.asm_c = z32
                 bp.asm_vidx = np.zeros(0, dtype=np.int64)

@@ -482,3 +482,33 @@ def test_double_float_refinement():
     res = A.max_scaled_residual(x, b)
     assert res < 1e-11, res
     assert s.Krylov_iterations() <= 5
+
+
+def test_hss_sampling_interior_fronts():
+    """Sampling-constructed INTERIOR HSS fronts (FrontHSS::Schur_update /
+    Theta-Phi role): fronts with a non-empty contribution block are built
+    from matvec samples + element extraction — F11 as sampled HSS, F12/F21
+    as randomized interpolative low-rank factors, CB = F22 - X21 (F21r W)
+    F12r — never assembling the dense (s+u)^2 front."""
+    from strumpack_tpu import CompressionType
+    A = poisson2d(64)
+    opts = SPOptions(compression=CompressionType.HSS,
+                     compression_min_sep_size=30, rel_tol=1e-6)
+    opts.hss.rel_tol = 1e-8
+    opts.hss.leaf_size = 16
+    opts.hss.max_rank = 24
+    opts.hss.sampling = True
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(64, 64)
+    samp = [bp for lvl in s.plan.levels for bp in lvl if bp.hss_sample]
+    interior = [bp for bp in samp if bp.u_pad > 0]
+    assert interior, "no interior sampling fronts selected"
+    assert any(bp.nf_real > 1 for bp in samp) or len(samp) > 1
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+    assert s.Krylov_iterations() < 40
