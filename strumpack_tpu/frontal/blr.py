@@ -26,6 +26,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from ..ops import trisolve as TS
 import numpy as np
 
 
@@ -144,14 +146,8 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
             Akk = rowk_full[:, k]
         else:
             Akk = tiles[:, k, k]
-        lu, _, perm = jax.lax.linalg.lu(Akk)
-        d = jnp.diagonal(lu, axis1=-2, axis2=-1)
-        repl = jnp.where(jnp.abs(d) < thresh,
-                         jnp.where(d == 0, thresh,
-                                   jnp.sign(d.real).astype(d.dtype) * thresh),
-                         d)
-        ii = jnp.arange(t)
-        lu = lu.at[:, ii, ii].set(repl)
+        from ..ops.pallas_panel_lu import batched_lu
+        lu, perm = batched_lu(Akk, thresh)
         lud = lud.at[:, k].set(lu)
         perms = perms.at[:, k].set(perm)
 
@@ -159,12 +155,23 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
         # block row k: W = L^-1 P A[k, j] for all j (mask j <= k)
         rowk = rowk_full if ll else tiles[:, k]  # [nf, nt, t, t]
         rowk = jnp.take_along_axis(rowk, perm[:, None, :, None], axis=2)
-        W = jax.lax.linalg.triangular_solve(
-            lub, rowk, left_side=True, lower=True, unit_diagonal=True)
         # block col k: Z = A[i, k] U^-1 for all i
         colk = colk_full if ll else tiles[:, :, k]
-        Z = jax.lax.linalg.triangular_solve(
-            lub, colk, left_side=False, lower=False)
+        if TS.use_loopfree(dt):
+            W = TS.trsm_lower(lub.reshape(-1, t, t),
+                              rowk.reshape(-1, t, t),
+                              unit=True).reshape(nf, nt, t, t)
+            # Z U = colk  <=>  U^T Z^T = colk^T (packed lu^T has the U
+            # factor in its lower triangle, which is all trsm_lower reads)
+            Z = TS.trsm_lower(
+                lub.transpose(0, 1, 3, 2).reshape(-1, t, t),
+                colk.transpose(0, 1, 3, 2).reshape(-1, t, t)
+            ).reshape(nf, nt, t, t).transpose(0, 1, 3, 2)
+        else:
+            W = jax.lax.linalg.triangular_solve(
+                lub, rowk, left_side=True, lower=True, unit_diagonal=True)
+            Z = jax.lax.linalg.triangular_solve(
+                lub, colk, left_side=False, lower=False)
 
         # compress the eliminated block row/col tiles (j > k + band)
         Uw, Vw, rw = _compress_tiles(W, tol, r)
@@ -246,8 +253,12 @@ def blr_fwd_bucket(lud, perms, Ul, Vl, Dl, bloc, t, nts, nt, adm_band=0):
     ys = []
     for k in range(nts):
         bk = jnp.take_along_axis(bt[:, k], perms[:, k, :, None], axis=1)
-        y = jax.lax.linalg.triangular_solve(
-            lud[:, k], bk, left_side=True, lower=True, unit_diagonal=True)
+        if TS.use_loopfree(dt):
+            y = TS.trsm_lower(lud[:, k], bk, unit=True)
+        else:
+            y = jax.lax.linalg.triangular_solve(
+                lud[:, k], bk, left_side=True, lower=True,
+                unit_diagonal=True)
         ys.append(y)
         # b_i -= Ul[k,i] (Vl[k,i] y)  for i > k (masked slots are zero)
         vy = jnp.einsum("fiat,ftr->fiar", Vl[:, k], y,
@@ -285,7 +296,10 @@ def blr_bwd_bucket(lud, Uu, Vu, Du, y, xupd, t, nts, nt, adm_band=0):
         if band and k + 1 < nt:
             rhs = rhs - jnp.matmul(Du[:, k], xt[:, k + 1],
                                    preferred_element_type=dt)
-        xk = jax.lax.linalg.triangular_solve(
-            lud[:, k], rhs, left_side=True, lower=False)
+        if TS.use_loopfree(dt):
+            xk = TS.trsm_upper(lud[:, k], rhs)
+        else:
+            xk = jax.lax.linalg.triangular_solve(
+                lud[:, k], rhs, left_side=True, lower=False)
         xt = xt.at[:, k].set(xk)
     return xt[:, :nts].reshape(nf, nts * t, nrhs)

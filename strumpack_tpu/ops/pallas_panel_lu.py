@@ -165,3 +165,33 @@ def blocked_factor_bucket(F, thresh, s_pad, pivoting=True, panel_w=PANEL_W,
         jb += w
     return (G[:, :s, :s], ptot[:, :s], G[:, s:, :s], G[:, :s, s:],
             G[:, s:, s:])
+
+
+def batched_lu(F, thresh=0.0, pivoting=True):
+    """Full batched LU with partial pivoting + tiny-pivot replacement:
+    [N, m, m] -> (packed L\\U, perm).  Routes to the Pallas fronts-on-
+    lanes kernel (m <= 64) or the blocked panel LU on the TPU f32 path;
+    falls back to XLA's lu elsewhere.  Drop-in for the
+    lax.linalg.lu + diag-replacement idiom (BLR tile LU, ULV blocks)."""
+    import os
+    from . import pallas_lu as PL
+    N, m, _ = F.shape
+    if (PL._supports_pallas(F.dtype) and N > 0
+            and not os.environ.get("STRUMPACK_TPU_NO_PALLAS")):
+        if m <= PL.MAX_PALLAS_P:
+            packed, perm = PL.pallas_factor_bucket(
+                F, thresh=thresh, s_pad=m, pivot=pivoting)
+            return packed, perm
+        if m <= MAX_PANEL_P:
+            lu, perm, _, _, _ = blocked_factor_bucket(
+                F, thresh, m, pivoting=pivoting)
+            return lu, perm
+    lu, _, perm = jax.lax.linalg.lu(F)
+    d = jnp.diagonal(lu, axis1=-2, axis2=-1)
+    thresh = jnp.asarray(thresh, jnp.real(jnp.zeros((), F.dtype)).dtype)
+    repl = jnp.where(
+        jnp.abs(d) < thresh,
+        jnp.where(d == 0, thresh,
+                  jnp.sign(jnp.real(d)).astype(d.dtype) * thresh), d)
+    ii = jnp.arange(m)
+    return lu.at[:, ii, ii].set(repl), perm
