@@ -149,3 +149,64 @@ def test_distributed_driver_refine():
     assert rc == ReturnCode.SUCCESS
     assert A.max_scaled_residual(x, b) < 1e-9
     assert s.Krylov_iterations() >= 2
+
+
+def test_dist_structured_blr():
+    """BLRMatrixMPI role (BLR/BLRMatrixMPI.hpp:120): tile grid sharded
+    over the (r, c) mesh axes, SPMD compression / tile LU / solve."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from strumpack_tpu.parallel.structured_dist import (
+        construct_from_dense_dist)
+    from strumpack_tpu.structured.structured import StructuredOptions, Type
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("r", "c"))
+    rng = np.random.default_rng(0)
+    n, k = 300, 6
+    A = (rng.standard_normal((n, k)) @ rng.standard_normal((k, n))
+         + np.diag(10 + rng.random(n)))
+    S = construct_from_dense_dist(
+        A, mesh, StructuredOptions(type=Type.BLR, rel_tol=1e-8,
+                                   leaf_size=64, max_rank=32))
+    x = rng.standard_normal(n)
+    assert np.linalg.norm(np.asarray(S.mult(x)) - A @ x) < 1e-5 * np.linalg.norm(A @ x)
+    b = A @ x
+    xs = np.asarray(S.solve(b))
+    assert np.linalg.norm(A @ xs - b) / np.linalg.norm(b) < 1e-5
+    assert S.rank() <= 32
+    # the operand really is 2D-sharded over the mesh
+    spec = S.Ap.sharding.spec
+    assert tuple(spec) == ("r", "c")
+
+
+def test_dist_structured_hss():
+    """HSSMatrixMPI role: HSS compression + ULV + solve as SPMD programs
+    over the mesh-sharded operand."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from strumpack_tpu.parallel.structured_dist import (
+        construct_from_elements_dist)
+    from strumpack_tpu.structured.structured import StructuredOptions, Type
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("r", "c"))
+    n = 256
+
+    def elem(I, J):
+        return 1.0 / (1.0 + jnp.abs(I - J)) + 2.0 * (I == J)
+
+    import jax.numpy as jnp
+    S = construct_from_elements_dist(
+        elem, n, mesh, StructuredOptions(type=Type.HSS, rel_tol=1e-9,
+                                         leaf_size=32, max_rank=32))
+    I = np.arange(n)
+    A = 1.0 / (1.0 + np.abs(I[:, None] - I[None, :])) + 2.0 * np.eye(n)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(n)
+    assert np.linalg.norm(np.asarray(S.mult(x)) - A @ x) < 1e-6 * np.linalg.norm(A @ x)
+    b = A @ x
+    xs = np.asarray(S.solve(b))
+    assert np.linalg.norm(A @ xs - b) / np.linalg.norm(b) < 1e-6
