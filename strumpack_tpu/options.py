@@ -15,10 +15,17 @@ from dataclasses import dataclass, field
 class ReorderingStrategy(enum.Enum):  # StrumpackOptions.hpp:61
     NATURAL = "natural"
     METIS = "metis"          # mapped to the built-in general ND
+    PARMETIS = "parmetis"    # external-lib names accepted; the built-in
+    SCOTCH = "scotch"        # general ND covers the graph-partitioning role
+    PTSCOTCH = "ptscotch"
     ND = "nd"                # built-in BFS-bisection nested dissection
+    AND = "and"              # ANDSparspak role == the built-in BFS ND
     GEOMETRIC = "geometric"
     RCM = "rcm"
     AMD = "amd"
+    MMD = "mmd"              # multiple minimum degree (genmmd role)
+    MLF = "mlf"              # minimum local fill
+    SPECTRAL = "spectral"    # Fiedler-vector recursive bisection ND
 
 
 class CompressionType(enum.Enum):  # StrumpackOptions.hpp:92
@@ -150,7 +157,8 @@ class SPOptions:
             "--sp_rel_tol <float>   --sp_abs_tol <float>   --sp_maxit <int>",
             "--sp_gmres_restart <int>   --sp_gram_schmidt_type "
             "classical|modified",
-            "--sp_reordering_method natural|metis|nd|geometric|rcm|amd",
+            "--sp_reordering_method natural|metis|parmetis|scotch|ptscotch|nd|and|"
+            "geometric|rcm|amd|mmd|mlf|spectral",
             "--sp_nd_leaf <int>  --sp_nx/--sp_ny/--sp_nz <int>  "
             "--sp_components <int>  --sp_separator_width <int>",
             "--sp_matching none|mpds   --sp_enable/disable_equilibration",

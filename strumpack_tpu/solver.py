@@ -142,23 +142,37 @@ class SparseSolver:
             perm, iperm, tree = geometric_nd(
                 opts.nx, opts.ny, opts.nz, components=opts.components,
                 width=opts.separator_width, leaf=opts.nd_leaf)
-        elif m in (ReorderingStrategy.ND, ReorderingStrategy.METIS):
+        elif m in (ReorderingStrategy.ND, ReorderingStrategy.METIS,
+                   ReorderingStrategy.AND, ReorderingStrategy.PARMETIS,
+                   ReorderingStrategy.SCOTCH, ReorderingStrategy.PTSCOTCH):
             from .sparse.ordering.nd import nested_dissection
             perm, iperm, tree = nested_dissection(
                 Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf)
+        elif m == ReorderingStrategy.SPECTRAL:
+            from .sparse.ordering.nd import nested_dissection
+            perm, iperm, tree = nested_dissection(
+                Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf,
+                splitter="spectral")
         elif m == ReorderingStrategy.NATURAL:
             from .sparse.separator_tree import from_etree_perm
             perm = np.arange(A.n, dtype=np.int64)
             iperm = perm
             tree = from_etree_perm(Asym.rowptr, Asym.colind, Asym.n,
                                    perm, iperm, leaf=opts.nd_leaf)
-        elif m in (ReorderingStrategy.RCM, ReorderingStrategy.AMD):
+        elif m in (ReorderingStrategy.RCM, ReorderingStrategy.AMD,
+                   ReorderingStrategy.MMD, ReorderingStrategy.MLF):
             from scipy.sparse.csgraph import reverse_cuthill_mckee
             from .sparse.separator_tree import from_etree_perm
             if m == ReorderingStrategy.RCM:
                 perm = np.asarray(
                     reverse_cuthill_mckee(Asym.to_scipy(), symmetric_mode=True),
                     dtype=np.int64)
+            elif m == ReorderingStrategy.MMD:
+                from .sparse.ordering.amd import mmd_order
+                perm = mmd_order(Asym.rowptr, Asym.colind, Asym.n)
+            elif m == ReorderingStrategy.MLF:
+                from .sparse.ordering.amd import mlf_order
+                perm = mlf_order(Asym.rowptr, Asym.colind, Asym.n)
             else:
                 from .sparse.ordering.amd import amd_order
                 perm = amd_order(Asym.rowptr, Asym.colind, Asym.n)

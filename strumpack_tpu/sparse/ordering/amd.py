@@ -42,3 +42,88 @@ def amd_order(rowptr, colind, n) -> np.ndarray:
             heapq.heappush(heap, (len(adj[u]), u))
         adj[v] = set()
     return np.asarray(perm, dtype=np.int64)
+
+
+def mmd_order(rowptr, colind, n) -> np.ndarray:
+    """Multiple minimum degree: per pass, eliminate a maximal independent
+    set of current-minimum-degree vertices before updating degrees.
+
+    Role of the reference's ``sparse/ordering/genmmd/mmd*.F`` (Liu's
+    multiple elimination MMD); same quotient-graph clique-update core as
+    amd_order above."""
+    adj = [set() for _ in range(n)]
+    for i in range(n):
+        for p in range(rowptr[i], rowptr[i + 1]):
+            j = int(colind[p])
+            if j != i:
+                adj[i].add(j)
+                adj[j].add(i)
+    eliminated = np.zeros(n, dtype=bool)
+    perm = []
+    remaining = n
+    while remaining:
+        degs = np.array([len(adj[i]) if not eliminated[i] else n + 1
+                         for i in range(n)])
+        dmin = int(degs.min())
+        # maximal independent set among min-degree vertices
+        batch = []
+        blocked = set()
+        for v in np.nonzero(degs == dmin)[0]:
+            if v in blocked:
+                continue
+            batch.append(int(v))
+            blocked.update(adj[v])
+        for v in batch:
+            eliminated[v] = True
+            perm.append(v)
+            nbrs = [u for u in adj[v] if not eliminated[u]]
+            for u in nbrs:
+                adj[u].discard(v)
+                adj[u].update(w for w in nbrs if w != u)
+            adj[v] = set()
+        remaining -= len(batch)
+    return np.asarray(perm, dtype=np.int64)
+
+
+def mlf_order(rowptr, colind, n) -> np.ndarray:
+    """Minimum local fill: greedily eliminate the vertex whose elimination
+    creates the fewest new edges (the reference's MLF option,
+    StrumpackOptions.hpp ReorderingStrategy::MLF)."""
+    adj = [set() for _ in range(n)]
+    for i in range(n):
+        for p in range(rowptr[i], rowptr[i + 1]):
+            j = int(colind[p])
+            if j != i:
+                adj[i].add(j)
+                adj[j].add(i)
+    eliminated = np.zeros(n, dtype=bool)
+
+    def fill(v):
+        nbrs = [u for u in adj[v] if not eliminated[u]]
+        f = 0
+        for a in range(len(nbrs)):
+            for b in range(a + 1, len(nbrs)):
+                if nbrs[b] not in adj[nbrs[a]]:
+                    f += 1
+        return f
+
+    import heapq
+    heap = [(fill(i), len(adj[i]), i) for i in range(n)]
+    heapq.heapify(heap)
+    perm = []
+    while heap:
+        f, d, v = heapq.heappop(heap)
+        if eliminated[v] or d != len(adj[v]):
+            continue
+        if f != fill(v):
+            heapq.heappush(heap, (fill(v), len(adj[v]), v))
+            continue
+        eliminated[v] = True
+        perm.append(v)
+        nbrs = [u for u in adj[v] if not eliminated[u]]
+        for u in nbrs:
+            adj[u].discard(v)
+            adj[u].update(w for w in nbrs if w != u)
+            heapq.heappush(heap, (fill(u), len(adj[u]), u))
+        adj[v] = set()
+    return np.asarray(perm, dtype=np.int64)

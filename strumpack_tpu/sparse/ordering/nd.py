@@ -92,20 +92,67 @@ def _bisect(rowptr, colind, ids):
     return left, right, sep
 
 
-def nested_dissection(rowptr, colind, n, leaf: int = 32):
+def _bisect_spectral(rowptr, colind, ids):
+    """Fiedler-vector bisection (the reference's SPECTRAL ordering role):
+    sign-split on the second Laplacian eigenvector of the induced
+    subgraph, separator = boundary of side A.  Falls back to the BFS
+    split when the eigensolve fails or the subgraph is tiny."""
+    m = len(ids)
+    if m < 16:
+        return _bisect(rowptr, colind, ids)
+    gid_to_local = {int(g): i for i, g in enumerate(ids)}
+    rows, cols = [], []
+    for il, g in enumerate(ids):
+        for p in range(rowptr[g], rowptr[g + 1]):
+            jl = gid_to_local.get(int(colind[p]))
+            if jl is not None and jl != il:
+                rows.append(il)
+                cols.append(jl)
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    A = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(m, m))
+    deg = np.asarray(A.sum(axis=1)).ravel()
+    L = sp.diags(deg) - A
+    try:
+        _, vecs = spla.eigsh(L, k=2, sigma=-1e-3, which="LM",
+                             maxiter=500, tol=1e-4)
+        fiedler = vecs[:, 1]
+    except Exception:
+        return _bisect(rowptr, colind, ids)
+    part_a = fiedler <= np.median(fiedler)
+    gid_set_b = set(int(g) for g in ids[~part_a])
+    sep_mask = np.zeros(m, dtype=bool)
+    for il in np.nonzero(part_a)[0]:
+        g = ids[il]
+        for p in range(rowptr[g], rowptr[g + 1]):
+            if int(colind[p]) in gid_set_b:
+                sep_mask[il] = True
+                break
+    left = ids[part_a & ~sep_mask]
+    right = ids[~part_a]
+    sep = ids[sep_mask]
+    if len(left) == 0 or len(right) == 0:
+        return _bisect(rowptr, colind, ids)
+    return left, right, sep
+
+
+def nested_dissection(rowptr, colind, n, leaf: int = 32,
+                      splitter: str = "bfs"):
     """Return (perm, iperm, SeparatorTree) for a general symmetric graph.
 
     The diagonal is ignored; rowptr/colind must be the structurally
     symmetrized pattern (reference symmetrizes before ND too,
-    SparseSolverBase.cpp:353).
+    SparseSolverBase.cpp:353).  splitter: "bfs" (ANDSparspak role) or
+    "spectral" (Fiedler bisection, ReorderingStrategy::SPECTRAL role).
     """
-    try:
-        from ...native import nested_dissection_native
-        out = nested_dissection_native(rowptr, colind, n, leaf=leaf)
-        if out is not None:
-            return out
-    except Exception:
-        pass
+    if splitter == "bfs":
+        try:
+            from ...native import nested_dissection_native
+            out = nested_dissection_native(rowptr, colind, n, leaf=leaf)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     rowptr = np.asarray(rowptr)
     colind = np.asarray(colind)
     tb = TreeBuilder()
@@ -114,7 +161,8 @@ def nested_dissection(rowptr, colind, n, leaf: int = 32):
         if len(ids) <= leaf:
             lo, hi = tb.emit(ids)
             return tb.add_node(lo, hi, -1, -1)
-        left_ids, right_ids, sep_ids = _bisect(rowptr, colind, ids)
+        bis = _bisect_spectral if splitter == "spectral" else _bisect
+        left_ids, right_ids, sep_ids = bis(rowptr, colind, ids)
         if len(sep_ids) == 0 and (len(left_ids) == 0 or len(right_ids) == 0):
             # could not split: make a leaf
             lo, hi = tb.emit(ids)

@@ -127,3 +127,31 @@ def test_amd_fill_reduction():
     Sp = S[perm, :][:, perm]
     withamd = splu(Sp.tocsc(), permc_spec="NATURAL")
     assert (withamd.L.nnz + withamd.U.nnz) < (natural.L.nnz + natural.U.nnz)
+
+
+def test_all_reordering_methods():
+    """ReorderingStrategy parity (StrumpackOptions.hpp:61): every method
+    the reference exposes produces a valid permutation + separator tree
+    and a machine-precision direct solve."""
+    import numpy as np
+    from strumpack_tpu import (KrylovSolver, ReturnCode, SparseSolver,
+                               SPOptions)
+    from strumpack_tpu.sparse.gen import poisson2d
+    A = poisson2d(16)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    fills = {}
+    for m in ("natural", "metis", "parmetis", "scotch", "ptscotch", "nd",
+              "and", "rcm", "amd", "mmd", "mlf", "spectral"):
+        opts = SPOptions(krylov_solver=KrylovSolver.DIRECT)
+        opts.set_from_command_line(["--sp_reordering_method", m])
+        s = SparseSolver(opts)
+        s.set_csr_matrix(A)
+        x, rc = s.solve(b)
+        assert rc == ReturnCode.SUCCESS, m
+        assert A.max_scaled_residual(x, b) < 1e-12, m
+        fills[m] = s.factor_nonzeros()
+    # minimum-degree variants must beat natural ordering on fill
+    assert fills["mmd"] < fills["natural"]
+    assert fills["mlf"] < fills["natural"]
