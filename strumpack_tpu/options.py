@@ -38,7 +38,12 @@ class CompressionType(enum.Enum):  # StrumpackOptions.hpp:92
 
 class MatchingJob(enum.Enum):  # StrumpackOptions.hpp:120
     NONE = "none"
-    MAX_DIAGONAL_PRODUCT_SCALING = "mpds"  # MC64 job 5 analog
+    MAX_CARDINALITY = "mc"                   # MC64 job 1
+    MAX_SMALLEST_DIAGONAL = "msd"            # MC64 job 2 (bottleneck)
+    MAX_SMALLEST_DIAGONAL_2 = "msd2"         # MC64 job 3 (same objective)
+    MAX_DIAGONAL_SUM = "mds"                 # MC64 job 4
+    MAX_DIAGONAL_PRODUCT_SCALING = "mpds"    # MC64 job 5 (+ scalings)
+    COMBBLAS = "awpm"                        # AWPM/CombBLAS role
 
 
 class EquilibrationType(enum.Enum):  # StrumpackOptions.hpp:132
@@ -161,7 +166,8 @@ class SPOptions:
             "geometric|rcm|amd|mmd|mlf|spectral",
             "--sp_nd_leaf <int>  --sp_nx/--sp_ny/--sp_nz <int>  "
             "--sp_components <int>  --sp_separator_width <int>",
-            "--sp_matching none|mpds   --sp_enable/disable_equilibration",
+            "--sp_matching 0-6|none|mc|msd|msd2|mds|mpds|awpm   "
+            "--sp_enable/disable_equilibration",
             "--sp_enable/disable_pivoting   "
             "--sp_enable/disable_replace_tiny_pivots",
             "--sp_enable/disable_symmetric   "
@@ -282,10 +288,16 @@ class SPOptions:
                 self.blr.factor_algorithm = alias[v]
             elif name in enum_map:
                 attr, E = enum_map[name]
+                _mc64_codes = {"0": "none", "1": "mc", "2": "msd",
+                               "3": "msd2", "4": "mds", "5": "mpds",
+                               "6": "awpm"}
                 if val is None:
                     i += 1
                     val = argv[i]
-                setattr(self, attr, E(val.lower()))
+                v = val.lower()
+                if E is MatchingJob:
+                    v = _mc64_codes.get(v, v)
+                setattr(self, attr, E(v))
             elif name in int_map:
                 if val is None:
                     i += 1

@@ -123,8 +123,19 @@ class SparseSolver:
 
         # column matching for stability (SparseSolverBase.cpp:327-334)
         if opts.matching != MatchingJob.NONE:
-            from .sparse.matching import max_product_matching
-            self.mq, self.mdr, self.mdc = max_product_matching(A)
+            from .sparse import matching as M
+            match_fn = {
+                MatchingJob.MAX_CARDINALITY: M.max_cardinality_matching,
+                MatchingJob.MAX_SMALLEST_DIAGONAL:
+                    M.max_smallest_diagonal_matching,
+                MatchingJob.MAX_SMALLEST_DIAGONAL_2:
+                    M.max_smallest_diagonal_matching,
+                MatchingJob.MAX_DIAGONAL_SUM: M.max_diagonal_sum_matching,
+                MatchingJob.MAX_DIAGONAL_PRODUCT_SCALING:
+                    M.max_product_matching,
+                MatchingJob.COMBBLAS: M.awpm_matching,
+            }[opts.matching]
+            self.mq, self.mdr, self.mdc = match_fn(A)
         else:
             self.mq = None
 

@@ -155,3 +155,29 @@ def test_all_reordering_methods():
     # minimum-degree variants must beat natural ordering on fill
     assert fills["mmd"] < fills["natural"]
     assert fills["mlf"] < fills["natural"]
+
+
+def test_all_matching_jobs():
+    """MatchingJob parity (StrumpackOptions.hpp:120 / MC64 jobs 1-5 +
+    AWPM): on a column-permuted Poisson (zero diagonal), every matching
+    job restores a solvable diagonal; without matching the no-pivot-able
+    structure breaks the solve."""
+    import numpy as np
+    from strumpack_tpu import ReturnCode, SparseSolver, SPOptions
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    from strumpack_tpu.sparse.gen import poisson2d
+    A = poisson2d(16)
+    rng = np.random.default_rng(0)
+    pc = rng.permutation(A.n)
+    S = A.to_scipy().tocsr()[:, pc].tocsr()
+    Ap = CSRMatrix(A.n, S.indptr, S.indices, S.data)
+    xex = rng.standard_normal(A.n)
+    b = Ap.spmv(xex)
+    for code in ("1", "2", "3", "4", "5", "6"):
+        opts = SPOptions()
+        opts.set_from_command_line(["--sp_matching", code])
+        s = SparseSolver(opts)
+        s.set_csr_matrix(Ap)
+        x, rc = s.solve(b)
+        assert rc == ReturnCode.SUCCESS, code
+        assert Ap.max_scaled_residual(x, b) < 1e-10, code
