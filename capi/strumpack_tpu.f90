@@ -22,6 +22,12 @@ module strumpack_tpu
     integer(c_int) :: precision
   end type
 
+  ! structured dense matrix handle (structured/StructuredMatrix.h role)
+  type, bind(c) :: SP_StructMat
+    type(c_ptr) :: obj
+    integer(c_int) :: precision
+  end type
+
   interface
     function STRUMPACK_init_mt(S, precision, argc, argv, verbose) &
         bind(c, name="STRUMPACK_init_mt") result(rc)
@@ -88,5 +94,49 @@ module strumpack_tpu
       type(STRUMPACK_SparseSolver), value :: S
       real(c_double), value :: tol
     end subroutine
+
+    ! ---- structured dense matrices (structured/fortran role) ----
+    function SP_d_struct_from_dense(S, rows, cols, A, ldA, stype, &
+        rel_tol, leaf_size, max_rank) &
+        bind(c, name="SP_d_struct_from_dense") result(rc)
+      import :: SP_StructMat, c_int, c_int64_t, c_double, c_ptr
+      type(SP_StructMat) :: S
+      integer(c_int64_t), value :: rows, cols, ldA
+      type(c_ptr), value :: A
+      integer(c_int), value :: stype, leaf_size, max_rank
+      real(c_double), value :: rel_tol
+      integer(c_int) :: rc
+    end function
+
+    function SP_d_struct_mult(S, nrhs, B, C) &
+        bind(c, name="SP_d_struct_mult") result(rc)
+      import :: SP_StructMat, c_int, c_int64_t, c_ptr
+      type(SP_StructMat), value :: S
+      integer(c_int64_t), value :: nrhs
+      type(c_ptr), value :: B, C
+      integer(c_int) :: rc
+    end function
+
+    function SP_d_struct_factor(S) &
+        bind(c, name="SP_d_struct_factor") result(rc)
+      import :: SP_StructMat, c_int
+      type(SP_StructMat), value :: S
+      integer(c_int) :: rc
+    end function
+
+    function SP_d_struct_solve(S, nrhs, B) &
+        bind(c, name="SP_d_struct_solve") result(rc)
+      import :: SP_StructMat, c_int, c_int64_t, c_ptr
+      type(SP_StructMat), value :: S
+      integer(c_int64_t), value :: nrhs
+      type(c_ptr), value :: B
+      integer(c_int) :: rc
+    end function
+
+    subroutine SP_d_struct_destroy(S) bind(c, name="SP_d_struct_destroy")
+      import :: SP_StructMat
+      type(SP_StructMat) :: S
+    end subroutine
+
   end interface
 end module strumpack_tpu

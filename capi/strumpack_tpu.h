@@ -139,6 +139,64 @@ int64_t STRUMPACK_factor_nonzeros(STRUMPACK_SparseSolver S);
 int STRUMPACK_inertia(STRUMPACK_SparseSolver S, int64_t* neg, int64_t* zero,
                       int64_t* pos);
 
+
+/* ------------------------------------------------------------------ */
+/* Structured dense matrices (reference structured/StructuredMatrix.h +
+ * StructuredMatrixC.cpp roles).  Dense inputs are column-major with
+ * leading dimension ldA; solve overwrites B in place. */
+
+typedef struct {
+  void* obj;
+  int precision;   /* STRUMPACK_PRECISION */
+} SP_StructMat;
+
+typedef enum {
+  SP_TYPE_HSS = 0,
+  SP_TYPE_BLR = 1,
+  SP_TYPE_HODLR = 2,
+  SP_TYPE_HODBF = 3,
+  SP_TYPE_BUTTERFLY = 4,
+  SP_TYPE_LR = 5,
+  SP_TYPE_LOSSY = 6
+} SP_STRUCTURED_TYPE;
+
+int SP_d_struct_from_dense(SP_StructMat* S, int64_t rows, int64_t cols,
+                           const double* A, int64_t ldA,
+                           SP_STRUCTURED_TYPE type, double rel_tol,
+                           int leaf_size, int max_rank);
+int SP_s_struct_from_dense(SP_StructMat* S, int64_t rows, int64_t cols,
+                           const float* A, int64_t ldA,
+                           SP_STRUCTURED_TYPE type, double rel_tol,
+                           int leaf_size, int max_rank);
+/* element function A(i,j) evaluated on demand (construct_from_elements) */
+int SP_d_struct_from_elements(SP_StructMat* S, int64_t rows, int64_t cols,
+                              double (*elem)(int64_t, int64_t),
+                              SP_STRUCTURED_TYPE type, double rel_tol,
+                              int leaf_size, int max_rank);
+int SP_d_struct_mult(SP_StructMat S, int64_t nrhs, const double* B,
+                     double* C);
+int SP_d_struct_factor(SP_StructMat S);
+int SP_d_struct_solve(SP_StructMat S, int64_t nrhs, double* B);
+int SP_d_struct_rank(SP_StructMat S);
+int64_t SP_d_struct_memory(SP_StructMat S);
+void SP_d_struct_destroy(SP_StructMat* S);
+
+/* ------------------------------------------------------------------ */
+/* Kernel-matrix regression (reference kernel/Kernel.h role).  train is
+ * column-major d x n (each point contiguous); type 0 = Gauss,
+ * 1 = Laplace. */
+
+typedef struct { void* obj; } STRUMPACK_Kernel;
+
+int STRUMPACK_create_kernel_double(STRUMPACK_Kernel* K, int64_t n, int d,
+                                   const double* train, double h,
+                                   double lambda, int type);
+int STRUMPACK_kernel_fit_HSS(STRUMPACK_Kernel K, const double* labels,
+                             int argc, char* argv[]);
+int STRUMPACK_kernel_predict(STRUMPACK_Kernel K, int64_t m,
+                             const double* test, double* prediction);
+void STRUMPACK_destroy_kernel(STRUMPACK_Kernel* K);
+
 #ifdef __cplusplus
 }
 #endif

@@ -22,9 +22,18 @@
 /* Embedded glue module: all numpy/ctypes work happens in Python.      */
 static const char* GLUE_SRC =
 "import ctypes\n"
+"import os\n"
 "import numpy as np\n"
+"import jax\n"
 "import strumpack_tpu as st\n"
 "from strumpack_tpu.sparse.csr import CSRMatrix\n"
+"\n"
+"# jax may have been preloaded (sitecustomize) before JAX_PLATFORMS could\n"
+"# take effect; re-apply the env var through the live config\n"
+"_plat = os.environ.get('JAX_PLATFORMS')\n"
+"if _plat:\n"
+"    try: jax.config.update('jax_platforms', _plat)\n"
+"    except Exception: pass\n"
 "\n"
 "_DT = {0: np.float32, 1: np.float64, 2: np.complex64, 3: np.complex128}\n"
 "_REORD = {0: 'natural', 1: 'metis', 6: 'geometric', 8: 'rcm', 9: 'amd',\n"
@@ -139,7 +148,95 @@ static const char* GLUE_SRC =
 "\n"
 "def inertia(h):\n"
 "    neg, zero, pos = h.solver.inertia()\n"
-"    return (int(neg), int(zero), int(pos))\n";
+"    return (int(neg), int(zero), int(pos))\n"
+"\n"
+"# ---- structured dense matrices (StructuredMatrix.h role) ----\n"
+"_STYPE = {0: 'hss', 1: 'blr', 2: 'hodlr', 3: 'hodbf', 4: 'butterfly',\n"
+"          5: 'lr', 6: 'lossy'}\n"
+"\n"
+"def _x64(dtype):\n"
+"    import jax\n"
+"    if np.dtype(dtype) in (np.float64, np.complex128):\n"
+"        jax.config.update('jax_enable_x64', True)\n"
+"\n"
+"def struct_from_dense(prec, rows, cols, addr, ld, stype, tol, leaf, rank):\n"
+"    from strumpack_tpu.structured.structured import (StructuredOptions,\n"
+"                                                     Type,\n"
+"                                                     construct_from_dense)\n"
+"    dt = _DT[prec]\n"
+"    _x64(dt)\n"
+"    full = _arr(addr, ld * cols, dt)\n"
+"    A = np.ascontiguousarray(full.reshape(cols, ld).T[:rows])\n"
+"    o = StructuredOptions(type=Type(_STYPE[stype]), rel_tol=tol,\n"
+"                          leaf_size=leaf, max_rank=rank)\n"
+"    return construct_from_dense(A, o)\n"
+"\n"
+"def struct_from_elements(prec, rows, cols, fn_addr, stype, tol, leaf,\n"
+"                         rank):\n"
+"    dt = _DT[prec]\n"
+"    _x64(dt)\n"
+"    EF = ctypes.CFUNCTYPE(ctypes.c_double, ctypes.c_int64,\n"
+"                          ctypes.c_int64)(fn_addr)\n"
+"    A = np.empty((rows, cols), dt)\n"
+"    for i in range(rows):\n"
+"        for j in range(cols):\n"
+"            A[i, j] = EF(i, j)\n"
+"    from strumpack_tpu.structured.structured import (StructuredOptions,\n"
+"                                                     Type,\n"
+"                                                     construct_from_dense)\n"
+"    o = StructuredOptions(type=Type(_STYPE[stype]), rel_tol=tol,\n"
+"                          leaf_size=leaf, max_rank=rank)\n"
+"    return construct_from_dense(A, o)\n"
+"\n"
+"def struct_mult(S, prec, nrhs, b_addr, c_addr):\n"
+"    dt = _DT[prec]\n"
+"    m = S.rows\n"
+"    B = _arr(b_addr, m * nrhs, dt).reshape(nrhs, m).T\n"
+"    C = np.asarray(S.mult(np.ascontiguousarray(B)), dtype=dt)\n"
+"    _arr(c_addr, m * nrhs, dt)[:] = C.T.ravel()\n"
+"    return 0\n"
+"\n"
+"def struct_factor(S):\n"
+"    S.factor()\n"
+"    return 0\n"
+"\n"
+"def struct_solve(S, prec, nrhs, b_addr):\n"
+"    dt = _DT[prec]\n"
+"    m = S.rows\n"
+"    buf = _arr(b_addr, m * nrhs, dt)\n"
+"    B = buf.reshape(nrhs, m).T\n"
+"    X = np.asarray(S.solve(np.ascontiguousarray(B)), dtype=dt)\n"
+"    buf[:] = X.T.ravel()\n"
+"    return 0\n"
+"\n"
+"def struct_rank(S):\n"
+"    return int(S.rank())\n"
+"\n"
+"def struct_memory(S):\n"
+"    return int(S.memory())\n"
+"\n"
+"# ---- kernel regression (kernel/Kernel.h role) ----\n"
+"def kernel_create(n, d, addr, h, lam, ktype):\n"
+"    import jax\n"
+"    jax.config.update('jax_enable_x64', True)\n"
+"    from strumpack_tpu.kernel.kernel import GaussKernel, LaplaceKernel\n"
+"    X = _arr(addr, n * d, np.float64).reshape(n, d).copy()\n"
+"    K = (GaussKernel if ktype == 0 else LaplaceKernel)(h=h, lam=lam)\n"
+"    return {'K': K, 'X': X}\n"
+"\n"
+"def kernel_fit_hss(kh, y_addr, argv):\n"
+"    n = kh['X'].shape[0]\n"
+"    y = _arr(y_addr, n, np.float64).copy()\n"
+"    kh['K'].fit_HSS(kh['X'], y)\n"
+"    return 0\n"
+"\n"
+"def kernel_predict(kh, m, t_addr, p_addr):\n"
+"    d = kh['X'].shape[1]\n"
+"    T = _arr(t_addr, m * d, np.float64).reshape(m, d).copy()\n"
+"    pred = np.asarray(kh['K'].predict(T), dtype=np.float64)\n"
+"    _arr(p_addr, m, np.float64)[:] = pred\n"
+"    return 0\n";
+
 
 static PyObject* glue = NULL;
 
@@ -366,4 +463,158 @@ int STRUMPACK_inertia(STRUMPACK_SparseSolver S, int64_t* neg, int64_t* zero,
   Py_XDECREF(r);
   PyGILState_Release(g);
   return rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* Structured dense matrices (structured/StructuredMatrix.h role)      */
+
+static int struct_from_dense_impl(SP_StructMat* S, int prec, int64_t rows,
+                                  int64_t cols, const void* A, int64_t ldA,
+                                  SP_STRUCTURED_TYPE type, double rel_tol,
+                                  int leaf_size, int max_rank) {
+  if (ensure_glue()) return -1;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject* h = PyObject_CallMethod(
+      glue, "struct_from_dense", "iLLKLidii", prec, (long long)rows,
+      (long long)cols, (unsigned long long)(uintptr_t)A, (long long)ldA,
+      (int)type, rel_tol, leaf_size, max_rank);
+  PyGILState_Release(g);
+  if (!h) { PyErr_Print(); return -1; }
+  S->obj = (void*)h;
+  S->precision = prec;
+  return 0;
+}
+
+int SP_d_struct_from_dense(SP_StructMat* S, int64_t rows, int64_t cols,
+                           const double* A, int64_t ldA,
+                           SP_STRUCTURED_TYPE type, double rel_tol,
+                           int leaf_size, int max_rank) {
+  return struct_from_dense_impl(S, STRUMPACK_DOUBLE, rows, cols, A, ldA,
+                                type, rel_tol, leaf_size, max_rank);
+}
+
+int SP_s_struct_from_dense(SP_StructMat* S, int64_t rows, int64_t cols,
+                           const float* A, int64_t ldA,
+                           SP_STRUCTURED_TYPE type, double rel_tol,
+                           int leaf_size, int max_rank) {
+  return struct_from_dense_impl(S, STRUMPACK_FLOAT, rows, cols, A, ldA,
+                                type, rel_tol, leaf_size, max_rank);
+}
+
+int SP_d_struct_from_elements(SP_StructMat* S, int64_t rows, int64_t cols,
+                              double (*elem)(int64_t, int64_t),
+                              SP_STRUCTURED_TYPE type, double rel_tol,
+                              int leaf_size, int max_rank) {
+  if (ensure_glue()) return -1;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject* h = PyObject_CallMethod(
+      glue, "struct_from_elements", "iLLKidii", (int)STRUMPACK_DOUBLE,
+      (long long)rows, (long long)cols,
+      (unsigned long long)(uintptr_t)elem, (int)type, rel_tol, leaf_size,
+      max_rank);
+  PyGILState_Release(g);
+  if (!h) { PyErr_Print(); return -1; }
+  S->obj = (void*)h;
+  S->precision = STRUMPACK_DOUBLE;
+  return 0;
+}
+
+int SP_d_struct_mult(SP_StructMat S, int64_t nrhs, const double* B,
+                     double* C) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  long v = call_long(PyObject_CallMethod(
+      glue, "struct_mult", "OiLKK", (PyObject*)S.obj, S.precision,
+      (long long)nrhs, (unsigned long long)(uintptr_t)B,
+      (unsigned long long)(uintptr_t)C));
+  PyGILState_Release(g);
+  return (int)v;
+}
+
+int SP_d_struct_factor(SP_StructMat S) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  long v = call_long(PyObject_CallMethod(glue, "struct_factor", "O",
+                                         (PyObject*)S.obj));
+  PyGILState_Release(g);
+  return (int)v;
+}
+
+int SP_d_struct_solve(SP_StructMat S, int64_t nrhs, double* B) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  long v = call_long(PyObject_CallMethod(
+      glue, "struct_solve", "OiLK", (PyObject*)S.obj, S.precision,
+      (long long)nrhs, (unsigned long long)(uintptr_t)B));
+  PyGILState_Release(g);
+  return (int)v;
+}
+
+int SP_d_struct_rank(SP_StructMat S) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  long v = call_long(PyObject_CallMethod(glue, "struct_rank", "O",
+                                         (PyObject*)S.obj));
+  PyGILState_Release(g);
+  return (int)v;
+}
+
+int64_t SP_d_struct_memory(SP_StructMat S) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  long v = call_long(PyObject_CallMethod(glue, "struct_memory", "O",
+                                         (PyObject*)S.obj));
+  PyGILState_Release(g);
+  return (int64_t)v;
+}
+
+void SP_d_struct_destroy(SP_StructMat* S) {
+  if (!S || !S->obj) return;
+  PyGILState_STATE g = PyGILState_Ensure();
+  Py_DECREF((PyObject*)S->obj);
+  PyGILState_Release(g);
+  S->obj = NULL;
+}
+
+/* ------------------------------------------------------------------ */
+/* Kernel regression (kernel/Kernel.h role)                            */
+
+int STRUMPACK_create_kernel_double(STRUMPACK_Kernel* K, int64_t n, int d,
+                                   const double* train, double h,
+                                   double lambda, int type) {
+  if (ensure_glue()) return -1;
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject* kh = PyObject_CallMethod(
+      glue, "kernel_create", "LiKddi", (long long)n, d,
+      (unsigned long long)(uintptr_t)train, h, lambda, type);
+  PyGILState_Release(g);
+  if (!kh) { PyErr_Print(); return -1; }
+  K->obj = (void*)kh;
+  return 0;
+}
+
+int STRUMPACK_kernel_fit_HSS(STRUMPACK_Kernel K, const double* labels,
+                             int argc, char* argv[]) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  PyObject* args = argv_tuple(argc, argv);
+  long v = call_long(PyObject_CallMethod(
+      glue, "kernel_fit_hss", "OKO", (PyObject*)K.obj,
+      (unsigned long long)(uintptr_t)labels, args));
+  Py_DECREF(args);
+  PyGILState_Release(g);
+  return (int)v;
+}
+
+int STRUMPACK_kernel_predict(STRUMPACK_Kernel K, int64_t m,
+                             const double* test, double* prediction) {
+  PyGILState_STATE g = PyGILState_Ensure();
+  long v = call_long(PyObject_CallMethod(
+      glue, "kernel_predict", "OLKK", (PyObject*)K.obj, (long long)m,
+      (unsigned long long)(uintptr_t)test,
+      (unsigned long long)(uintptr_t)prediction));
+  PyGILState_Release(g);
+  return (int)v;
+}
+
+void STRUMPACK_destroy_kernel(STRUMPACK_Kernel* K) {
+  if (!K || !K->obj) return;
+  PyGILState_STATE g = PyGILState_Ensure();
+  Py_DECREF((PyObject*)K->obj);
+  PyGILState_Release(g);
+  K->obj = NULL;
 }

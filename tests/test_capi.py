@@ -55,3 +55,25 @@ def test_capi_option_flags_forwarded():
         [os.path.join(capi, "csparse"), "20", "--sp_gmres_restart", "17"],
         env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, (r.stdout, r.stderr)
+
+
+@pytest.mark.skipif(shutil.which("gcc") is None or
+                    shutil.which("make") is None,
+                    reason="no C toolchain")
+def test_capi_structured_and_kernel():
+    """StructuredMatrix + Kernel C interfaces (reference
+    structured/StructuredMatrix.h + kernel/Kernel.h roles, exercised the
+    way examples/dense/dstructured.c does)."""
+    capi = os.path.join(REPO, "capi")
+    subprocess.run(["make", "-C", capi], check=True, capture_output=True)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    paths = [REPO] + [p for p in sys.path if p.endswith(".axon_site")]
+    axon = "/root/.axon_site"
+    if os.path.isdir(axon) and axon not in paths:
+        paths.append(axon)
+    env["PYTHONPATH"] = ":".join(paths)
+    r = subprocess.run([os.path.join(capi, "cstructured"), "160"],
+                       env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "OK" in r.stdout
