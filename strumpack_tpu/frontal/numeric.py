@@ -748,15 +748,33 @@ class Factors:
         return total
 
 
-def _factor_level(pdev, li, spd, hss_tol, pivoting, arrays, vals_ext,
-                  cb_list, thresh, tol):
-    """One level of the factorization (split-program mode)."""
+def _level_groups(pdev, budget):
+    """Group consecutive levels so each jitted split-mode program holds at
+    most ~budget buckets: bounds the program image (the failure mode that
+    motivated split mode) while paying one dispatch per GROUP instead of
+    per level (26 -> ~3 dispatches at 64^3)."""
+    groups, cur, cnt = [], [], 0
+    for li, lvl in enumerate(pdev.levels):
+        if cur and cnt + len(lvl) > budget:
+            groups.append(cur)
+            cur, cnt = [], 0
+        cur.append(li)
+        cnt += len(lvl)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _factor_levels(pdev, lis, spd, hss_tol, pivoting, arrays, vals_ext,
+                   cb_list, thresh, tol):
+    """One group of levels of the factorization (split-program mode)."""
     out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
            "blr_ranks": {}, "hss": {}}
-    cb_list = [_bucket_factor_step(
-        li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_list,
-        thresh, tol, spd, hss_tol, out, pivoting=pivoting)
-        for bi, bd in enumerate(pdev.levels[li])]
+    for li in lis:
+        cb_list = [_bucket_factor_step(
+            li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_list,
+            thresh, tol, spd, hss_tol, out, pivoting=pivoting)
+            for bi, bd in enumerate(pdev.levels[li])]
     return out, cb_list
 
 
@@ -792,13 +810,13 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
         vals_ext = jnp.concatenate(
             [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
         cb_list = []
-        for li in range(len(pdev.levels)):
-            key = ("factor_lvl", li, dtype.name, spd, hss_tol,
+        for lis in _level_groups(pdev, SPLIT_SOLVE_BUCKETS):
+            key = ("factor_lvl", tuple(lis), dtype.name, spd, hss_tol,
                    matmul_precision, pivoting)
             fn = pdev._jit_cache.get(key)
             if fn is None:
-                fn = jax.jit(partial(_factor_level, pdev, li, spd, hss_tol,
-                                     pivoting))
+                fn = jax.jit(partial(_factor_levels, pdev, lis, spd,
+                                     hss_tol, pivoting))
                 pdev._jit_cache[key] = fn
             out, cb_list = fn(pdev.arrays, vals_ext,
                               cb_list, jnp.asarray(thresh, rdt),
@@ -810,22 +828,25 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
     return fac
 
 
-def _solve_fwd_level(pdev, li, arrays, fac_tree, bext, cbv_list):
-    """One forward-sweep level (split-program mode for very large plans)."""
-    ys = []
-    parts = []
-    for bi, bd in enumerate(pdev.levels[li]):
-        y, cbv = _bucket_fwd_step(li, bi, bd, arrays[f"{li},{bi}"],
-                                  fac_tree, bext, cbv_list)
-        ys.append(y)
-        parts.append(cbv)
-    return ys, parts
+def _solve_fwd_levels(pdev, lis, arrays, fac_tree, bext, cbv_list):
+    """One group of forward-sweep levels (split-program mode)."""
+    ys = {}
+    for li in lis:
+        parts = []
+        for bi, bd in enumerate(pdev.levels[li]):
+            y, cbv = _bucket_fwd_step(li, bi, bd, arrays[f"{li},{bi}"],
+                                      fac_tree, bext, cbv_list)
+            ys[str(li)] = ys.get(str(li), []) + [y]
+            parts.append(cbv)
+        cbv_list = parts
+    return ys, cbv_list
 
 
-def _solve_bwd_level(pdev, li, arrays, fac_tree, ys, xext):
-    for bi, bd in enumerate(pdev.levels[li]):
-        xext = _bucket_bwd_step(li, bi, bd, arrays[f"{li},{bi}"],
-                                fac_tree, ys[bi], xext)
+def _solve_bwd_levels(pdev, lis, arrays, fac_tree, ys, xext):
+    for li in lis:
+        for bi, bd in enumerate(pdev.levels[li]):
+            xext = _bucket_bwd_step(li, bi, bd, arrays[f"{li},{bi}"],
+                                    fac_tree, ys[str(li)][bi], xext)
     return xext
 
 
@@ -865,23 +886,26 @@ def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
         bext = jnp.concatenate([b, jnp.zeros((1, nrhs), b.dtype)], axis=0)
         all_ys = {}
         cbv_list = []
-        for li in range(len(pdev.levels)):
-            key = ("solve_fwd", li, jnp.dtype(fac.dtype).name, nrhs, spd,
-                   matmul_precision)
+        groups = _level_groups(pdev, SPLIT_SOLVE_BUCKETS)
+        for lis in groups:
+            key = ("solve_fwd", tuple(lis), jnp.dtype(fac.dtype).name,
+                   nrhs, spd, matmul_precision)
             fn = pdev._jit_cache.get(key)
             if fn is None:
-                fn = jax.jit(partial(_solve_fwd_level, pdev, li))
+                fn = jax.jit(partial(_solve_fwd_levels, pdev, lis))
                 pdev._jit_cache[key] = fn
             ys, cbv_list = fn(pdev.arrays, fac.tree, bext, cbv_list)
-            all_ys[li] = ys
+            all_ys.update(ys)
         xext = jnp.zeros((n + 1, nrhs), dtype=b.dtype)
-        for li in range(len(pdev.levels) - 1, -1, -1):
-            key = ("solve_bwd", li, jnp.dtype(fac.dtype).name, nrhs, spd,
-                   matmul_precision)
+        for lis in groups[::-1]:
+            rlis = lis[::-1]
+            key = ("solve_bwd", tuple(rlis), jnp.dtype(fac.dtype).name,
+                   nrhs, spd, matmul_precision)
             fn = pdev._jit_cache.get(key)
             if fn is None:
-                fn = jax.jit(partial(_solve_bwd_level, pdev, li))
+                fn = jax.jit(partial(_solve_bwd_levels, pdev, rlis))
                 pdev._jit_cache[key] = fn
-            xext = fn(pdev.arrays, fac.tree, all_ys[li], xext)
+            xext = fn(pdev.arrays, fac.tree,
+                      {str(li): all_ys[str(li)] for li in lis}, xext)
     x = xext[:n]
     return x[:, 0] if squeeze else x

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..frontal.numeric import PlanDev
+from ..frontal.numeric import PlanDev, _ext_add_vec, _extend_add_blocks
 
 
 def _blk_2d(s: int) -> int:
@@ -62,7 +62,7 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
         th = jnp.asarray(thresh, dtype=jnp.zeros((), dtype).real.dtype)
 
         lus, perms, L21s, U12s = {}, {}, {}, {}
-        cb_flat = jnp.zeros((0,), dtype=dtype)
+        cb_list = []
         for li, level in enumerate(pdev.levels):
             parts = []
             for bi, bd in enumerate(level):
@@ -72,18 +72,15 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                 F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
                     vals_ext[a["asm_vidx"]])
                 F = _shard_bucket(F, mesh, bp.nf)
-                for has, pos, off, stride in (
-                        (bd.has_L, a["posL"], a["offL"], a["strideL"]),
-                        (bd.has_R, a["posR"], a["offR"], a["strideR"])):
-                    if not has:
-                        continue
-                    idx = (off[:, None, None]
-                           + pos[:, :, None] * stride[:, None, None]
-                           + pos[:, None, :])
-                    mask = (pos[:, :, None] >= 0) & (pos[:, None, :] >= 0)
-                    safe = jnp.clip(idx, 0, max(cb_flat.shape[0] - 1, 0))
-                    F = F + jnp.where(mask, cb_flat[safe],
-                                      jnp.zeros((), dtype))
+                # pairs-based extend-add (leading-axis block takes of the
+                # replicated child CBs -> one-hot MXU matmuls); XLA turns
+                # the sharded-F updates into the alltoallv-role collectives
+                if bd.has_L:
+                    F = _extend_add_blocks(F, cb_list, a["posL"],
+                                           bd.pairsL, a)
+                if bd.has_R:
+                    F = _extend_add_blocks(F, cb_list, a["posR"],
+                                           bd.pairsR, a)
                 s = bp.s_pad
                 use_2d = (bp.nf == 1 and bp.u_pad == 0 and "r" in
                           mesh.axis_names and "c" in mesh.axis_names
@@ -93,7 +90,7 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                     LU2, perms2 = sharded_blocked_lu(
                         F[0], mesh, _blk_2d(s), th)
                     lus[(li, bi)] = ("2d", LU2, perms2, _blk_2d(s))
-                    parts.append(jnp.zeros((0,), dtype))
+                    parts.append(jnp.zeros((bp.nf, 0, 0), dtype))
                     continue
                 lu, _, perm = jax.lax.linalg.lu(F[:, :s, :s])
                 d = jnp.diagonal(lu, axis1=-2, axis2=-1)
@@ -114,17 +111,15 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                 perms[(li, bi)] = perm
                 L21s[(li, bi)] = L21
                 U12s[(li, bi)] = U12
-                parts.append(CB.reshape(-1))
-            cb_flat = (jnp.concatenate(parts) if parts
-                       else jnp.zeros((0,), dtype))
-            cb_flat = jax.lax.with_sharding_constraint(
-                cb_flat, NamedSharding(mesh, P(None)))
+                parts.append(jax.lax.with_sharding_constraint(
+                    CB, NamedSharding(mesh, P(None, None, None))))
+            cb_list = parts
 
         # ---- solve (single rhs) ----
         b1 = b.astype(dtype)[:, None]
         bext = jnp.concatenate([b1, jnp.zeros((1, 1), dtype)], axis=0)
         ys = {}
-        cbv = jnp.zeros((0, 1), dtype)
+        cbv_list = []
         for li, level in enumerate(pdev.levels):
             parts = []
             for bi, bd in enumerate(level):
@@ -133,19 +128,17 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                 bloc = jnp.concatenate(
                     [bext[a["sep_glob"]],
                      jnp.zeros((bp.nf, bp.u_pad, 1), dtype)], axis=1)
-                for has, pos, voff in ((bd.has_L, a["posL"], a["voffL"]),
-                                       (bd.has_R, a["posR"], a["voffR"])):
-                    if not has:
-                        continue
-                    idx = voff[:, None] + pos
-                    safe = jnp.clip(idx, 0, max(cbv.shape[0] - 1, 0))
-                    bloc = bloc + jnp.where((pos >= 0)[:, :, None],
-                                            cbv[safe], jnp.zeros((), dtype))
+                if bd.has_L:
+                    bloc = _ext_add_vec(bloc, cbv_list, a["posL"],
+                                        bd.pairsL, a)
+                if bd.has_R:
+                    bloc = _ext_add_vec(bloc, cbv_list, a["posR"],
+                                        bd.pairsR, a)
                 s = bp.s_pad
                 entry = lus[(li, bi)]
                 if isinstance(entry, tuple) and entry[0] == "2d":
                     ys[(li, bi)] = bloc[:, :s]   # solved in backward sweep
-                    parts.append(jnp.zeros((0, 1), dtype))
+                    parts.append(jnp.zeros((bp.nf, 0, 1), dtype))
                     continue
                 bsep = jnp.take_along_axis(bloc[:, :s],
                                            perms[(li, bi)][:, :, None], 1)
@@ -153,11 +146,9 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                     entry, bsep, left_side=True, lower=True,
                     unit_diagonal=True)
                 ys[(li, bi)] = y
-                parts.append((bloc[:, s:] - jnp.matmul(
-                    L21s[(li, bi)], y,
-                    preferred_element_type=dtype)).reshape(-1, 1))
-            cbv = (jnp.concatenate(parts) if parts
-                   else jnp.zeros((0, 1), dtype))
+                parts.append(bloc[:, s:] - jnp.matmul(
+                    L21s[(li, bi)], y, preferred_element_type=dtype))
+            cbv_list = parts
 
         xext = jnp.zeros((n + 1, 1), dtype)
         for li in range(len(pdev.levels) - 1, -1, -1):

@@ -25,8 +25,8 @@ def geometric_nd(nx: int, ny: int = 1, nz: int = 1, components: int = 1,
     tb = TreeBuilder()
 
     def vid(xs, ys, zs):
-        X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-        base = ((X * ny + Y) * nz + Z).ravel() * components
+        base = (((xs[:, None] * ny + ys[None, :])[:, :, None] * nz
+                 + zs[None, None, :]).ravel() * components)
         if components == 1:
             return base
         return (base[:, None] + np.arange(components)[None, :]).ravel()
