@@ -110,3 +110,53 @@ def use_loopfree(dtype) -> bool:
     substitution)."""
     return (jax.default_backend() == "tpu"
             and jnp.dtype(dtype) == jnp.float32)
+
+
+def unrolled_lu(F, thresh=0.0, max_m=128):
+    """vmap-safe pivoted LU: Python-unrolled masked elimination over the
+    last two axes (static row/column indices, so it composes with vmap —
+    unlike pallas_call — and contains no XLA while loop — unlike
+    lax.linalg.lu).  Used by the HSS/HODLR ULV blocks, which are factored
+    inside vmapped per-front closures.  Returns (packed L\\U, perm in
+    applied form).  Falls back to lax.linalg.lu off the TPU f32 path or
+    beyond max_m."""
+    m = F.shape[-1]
+    if not use_loopfree(F.dtype) or m > max_m or m == 0:
+        lu, _, perm = jax.lax.linalg.lu(F)
+        if thresh is not None:
+            d = jnp.diagonal(lu, axis1=-2, axis2=-1)
+            th = jnp.asarray(thresh, d.real.dtype)
+            repl = jnp.where(jnp.abs(d) < th,
+                             jnp.where(d == 0, th,
+                                       jnp.sign(d.real).astype(d.dtype)
+                                       * th), d)
+            ii = jnp.arange(m)
+            lu = lu.at[..., ii, ii].set(repl)
+        return lu, perm
+    th = jnp.asarray(thresh, F.dtype)
+    ar = jnp.arange(m)
+    P = jnp.broadcast_to(ar, F.shape[:-1]).astype(jnp.int32)
+    for k in range(m):
+        colk = jnp.abs(F[..., :, k])
+        cand = jnp.where(ar >= k, colk, -1.0)
+        rpiv = jnp.argmax(cand, axis=-1)             # [...]
+        rowk = F[..., k, :]
+        rowr = jnp.take_along_axis(
+            F, rpiv[..., None, None], axis=-2)[..., 0, :]
+        is_r = (ar[:, None] == rpiv[..., None, None])   # [..., m, 1]
+        F = F.at[..., k, :].set(rowr)
+        F = jnp.where(is_r, rowk[..., None, :], F)
+        pk = P[..., k]
+        pr = jnp.take_along_axis(P, rpiv[..., None], axis=-1)[..., 0]
+        P = P.at[..., k].set(pr)
+        P = jnp.where(ar == rpiv[..., None], pk[..., None], P)
+        piv = F[..., k, k]
+        piv = jnp.where(jnp.abs(piv) < th,
+                        jnp.where(piv == 0, th, jnp.sign(piv) * th), piv)
+        mult = jnp.where(ar > k, F[..., :, k] / piv[..., None], 0.0)
+        upd = jnp.where(ar > k, F[..., k, :], 0.0)
+        F = F - mult[..., :, None] * upd[..., None, :]
+        F = F.at[..., :, k].set(
+            jnp.where(ar > k, mult, F[..., :, k]))
+        F = F.at[..., k, k].set(piv)
+    return F, P

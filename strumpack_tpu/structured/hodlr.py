@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops import trisolve as TS
 import numpy as np
 
 from .hss import _pad_pow2, _trunc_basis
@@ -127,7 +129,7 @@ class HODLRMatrix:
         mp, t, r, L = self.mp, self.t, self.r, self.L
         dt = self.dtype
         nl = 2 ** L
-        lu, _, perm = jax.lax.linalg.lu(self.D)
+        lu, perm = TS.unrolled_lu(self.D)
         self._leaf = (lu, perm)
         self._smw = []
 
@@ -158,7 +160,7 @@ class HODLRMatrix:
             Vt = Vt.at[:, r:, :ml].set(self.Q21[li])
             cap = jnp.eye(2 * r, dtype=dt)[None] + jnp.matmul(
                 Vt, Yp, preferred_element_type=dt)
-            caplu, _, capperm = jax.lax.linalg.lu(cap)
+            caplu, capperm = TS.unrolled_lu(cap)
             self._smw.append(dict(Y=Yp, Vt=Vt, caplu=caplu,
                                   capperm=capperm))
         self._factored = True
@@ -204,6 +206,9 @@ class HODLRMatrix:
 
 def _lu_app(lu, perm, b):
     bp = jnp.take_along_axis(b, perm[..., None], axis=-2)
+    if TS.use_loopfree(lu.dtype) and lu.ndim == 3:
+        y = TS.trsm_lower(lu, bp, unit=True)
+        return TS.trsm_upper(lu, y)
     y = jax.lax.linalg.triangular_solve(lu, bp, left_side=True, lower=True,
                                         unit_diagonal=True)
     return jax.lax.linalg.triangular_solve(lu, y, left_side=True, lower=False)

@@ -29,6 +29,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from ..ops import trisolve as TS
 import numpy as np
 
 
@@ -210,7 +212,7 @@ class HSSMatrix:
             D12 = Dp[:, :r, r:]
             D21 = Dp[:, r:, :r]
             D22 = Dp[:, r:, r:]
-            lu22, _, p22 = jax.lax.linalg.lu(D22)
+            lu22, p22 = TS.unrolled_lu(D22)
             X = _lu_solve(lu22, p22, D21)     # D22^-1 D21
             Dred = D11 - jnp.matmul(D12, X, preferred_element_type=dt)
             Uhat = RU[:, :r, :]               # [nodes, r, r]
@@ -243,7 +245,7 @@ class HSSMatrix:
                 Vb = Vb.at[:, r:, r:].set(Vhat[i2])
                 V = jnp.matmul(Vb, Rv, preferred_element_type=dt)
         # root dense LU
-        lur, _, pr = jax.lax.linalg.lu(D)
+        lur, pr = TS.unrolled_lu(D)
         self._root = (lur, pr)
         self._factored = True
 
@@ -336,6 +338,9 @@ jax.tree_util.register_pytree_node(HSSMatrix, _hss_flatten, _hss_unflatten)
 def _lu_solve(lu, piv_perm, b):
     """Batched LU solve given packed lu and applied permutation."""
     bp = jnp.take_along_axis(b, piv_perm[..., None], axis=-2)
+    if TS.use_loopfree(lu.dtype) and lu.ndim == 3:
+        y = TS.trsm_lower(lu, bp, unit=True)
+        return TS.trsm_upper(lu, y)
     y = jax.lax.linalg.triangular_solve(lu, bp, left_side=True, lower=True,
                                         unit_diagonal=True)
     return jax.lax.linalg.triangular_solve(lu, y, left_side=True, lower=False)
