@@ -268,11 +268,19 @@ def _dequantize(t, dtype):
 
 
 def _hss_front_bucket(F, bp, hss_tol, dtype):
-    """Batched HSS/HODLR partial factorization of a bucket via vmap:
+    """Batched HSS/HODLR/HODBF partial factorization of a bucket via vmap:
     each front compresses + factors F11 and forms the explicit Schur
     pieces; the per-front structured objects are pytrees, so vmap returns
-    them with batched leaves."""
+    them with batched leaves.
+
+    HODBF fronts (FrontHODLR with butterfly levels, FrontHODLR.cpp:442-449
+    compresses F12/F21 as ButterflyMatrix): the dense Schur pieces are only
+    factor-time temporaries — the factors store S12 = F11^-1 F12 and F21 as
+    rectangular butterfly factorizations, so the solve applies them as
+    O(r p log p) transfer-chain matvecs and factor memory drops from
+    2·s·u to butterfly size."""
     sH = bp.s_pad
+    use_bf = bp.hodbf and bp.bf_D >= 2 and bp.u_pad > 0
 
     def one(F0):
         if bp.hss:
@@ -289,10 +297,19 @@ def _hss_front_bucket(F, bp, hss_tol, dtype):
         S12 = H.solve(F12) if bp.u_pad else F12
         CB = F0[sH:, sH:] - jnp.matmul(F21, S12,
                                        preferred_element_type=F0.dtype)
+        if use_bf:
+            from ..structured.butterfly import bf_compress
+            tol = jnp.asarray(hss_tol,
+                              jnp.real(jnp.zeros((), F0.dtype)).dtype)
+            bfS12 = bf_compress(S12, bp.bf_D, bp.bf_r, tol)
+            bf21 = bf_compress(F21, bp.bf_D, bp.bf_r, tol)
+            return H, bfS12, bf21, CB
         return H, S12, F21, CB
 
     if bp.nf == 1:
         H, S12, F21, CB = one(F[0])
+        if use_bf:
+            return H, S12, F21, CB[None]
         return H, S12[None], F21[None], CB[None]
     return jax.vmap(one)(F)
 
@@ -486,10 +503,11 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
             variant=getattr(bp, "blr_variant", "rl"))
         out["blr"][key] = (lud, perms, Uu, Vu, Ul, Vl, Du, Dl)
         out["blr_ranks"][key] = rk
-    elif bp.hss or bp.hodlr:
-        # HSS/HODLR fronts (FrontHSS / FrontHODLR roles), batched via
-        # vmap: compress + factor F11 (ULV / SMW), explicit Schur
-        # S12 = F11^-1 F12, CB = F22 - F21 S12.
+    elif bp.hss or bp.hodlr or bp.hodbf:
+        # HSS/HODLR/HODBF fronts (FrontHSS / FrontHODLR roles), batched
+        # via vmap: compress + factor F11 (ULV / SMW), Schur
+        # S12 = F11^-1 F12, CB = F22 - F21 S12; HODBF stores S12/F21 as
+        # rectangular butterflies.
         H, S12, F21, CB = _hss_front_bucket(F, bp, hss_tol, dtype)
         out["hss"][key] = (H, S12, F21)
     elif spd:
@@ -560,7 +578,20 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
         y, cbv = B.blr_fwd_bucket(lud, perms, Ul, Vl, Dl, bloc, t=t,
                                   nts=bp.s_pad // t, nt=bp.p // t,
                                   adm_band=bp.adm_band)
-    elif bp.hss or bp.hodlr:
+    elif bp.hodbf and bp.bf_D >= 2 and bp.u_pad:
+        # butterfly-stored F21: cbv = b_u - BF21(F11^-1 b_s)
+        from ..structured.butterfly import bf_matvec
+        H, bfS12, bf21 = fac_tree["hss"][key]
+        s = bp.s_pad
+        if bp.nf == 1:
+            y = H.solve(bloc[0, :s])[None]
+            f21y = bf_matvec(bf21, y[0], bp.bf_D, bp.bf_r)[None]
+        else:
+            y = jax.vmap(lambda h, b: h.solve(b))(H, bloc[:, :s])
+            f21y = jax.vmap(
+                lambda bf, x: bf_matvec(bf, x, bp.bf_D, bp.bf_r))(bf21, y)
+        cbv = bloc[:, s:] - f21y
+    elif bp.hss or bp.hodlr or bp.hodbf:
         y, cbv = _hss_solve_fwd(bp, fac_tree["hss"][key], bloc, dtype)
     elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket
         s = bp.s_pad
@@ -612,7 +643,18 @@ def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
         xsep = B.blr_bwd_bucket(lud, Uu, Vu, Du, y, xupd, t=t,
                                 nts=bp.s_pad // t, nt=bp.p // t,
                                 adm_band=bp.adm_band)
-    elif bp.hss or bp.hodlr:
+    elif bp.hodbf and bp.bf_D >= 2 and bp.u_pad:
+        # butterfly-stored S12 = F11^-1 F12: xsep = y - BFS12(x_upd)
+        from ..structured.butterfly import bf_matvec
+        H, bfS12, bf21 = fac_tree["hss"][key]
+        if bp.nf == 1:
+            s12x = bf_matvec(bfS12, xupd[0], bp.bf_D, bp.bf_r)[None]
+        else:
+            s12x = jax.vmap(
+                lambda bf, x: bf_matvec(bf, x, bp.bf_D, bp.bf_r))(bfS12,
+                                                                  xupd)
+        xsep = y - s12x
+    elif bp.hss or bp.hodlr or bp.hodbf:
         H, S12, F21 = fac_tree["hss"][key]
         xsep = y - jnp.matmul(S12, xupd, preferred_element_type=dtype)
     elif key not in fac_tree["perm"]:  # SPD (Cholesky) bucket

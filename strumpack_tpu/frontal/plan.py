@@ -114,6 +114,11 @@ class BucketPlan:
     hodlr: bool = False
     hss_leaf: int = 0
     hss_rank: int = 0
+    # HODBF fronts (FrontHODLR with HODLROptions butterfly_levels > 0):
+    # F11 HODLR-factored, F11^-1 F12 and F21 stored butterfly-compressed
+    hodbf: bool = False
+    bf_D: int = 0                # butterfly depth for the (s_pad, u_pad) pair
+    bf_r: int = 0                # butterfly max rank
     # sampling-constructed HSS root front (FrontHSS::random_sampling role,
     # FrontHSS.cpp:241): never assembles the dense front; mult/elem closures
     # read the sparse block (ELL) + the children's CBs directly
@@ -248,8 +253,11 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                         and sp >= compression.compression_min_sep_size):
                     bp.lossy = getattr(compression, "lossy_precision", 16)
                 elif (compression.compression in (CompressionType.HSS,
-                                                  CompressionType.HODLR)
+                                                  CompressionType.HODLR,
+                                                  CompressionType.HODBF)
                         and sp >= compression.compression_min_sep_size):
+                    bf_levels = getattr(compression,
+                                        "hodlr_butterfly_levels", 0)
                     if compression.compression == CompressionType.HSS:
                         if getattr(compression.hss, "sampling", False):
                             # sampling-constructed fronts (root AND
@@ -257,10 +265,23 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                             bp.hss_sample = True
                         else:
                             bp.hss = True
+                    elif (compression.compression == CompressionType.HODBF
+                            or bf_levels > 0):
+                        bp.hodbf = True
                     else:
                         bp.hodlr = True
                     bp.hss_leaf = min(compression.hss.leaf_size, max(sp // 4, 16))
                     bp.hss_rank = min(compression.hss.max_rank, bp.hss_leaf)
+                    if bp.hodbf and up > 0:
+                        # even butterfly depth usable by the rectangular
+                        # [s_pad, u_pad] off-diagonal blocks (bf_depth2)
+                        D = 0
+                        while (sp % (2 ** (D + 2)) == 0
+                               and up % (2 ** (D + 2)) == 0
+                               and min(sp, up) // (2 ** (D + 2)) >= 16):
+                            D += 2
+                        bp.bf_D = D
+                        bp.bf_r = bp.hss_rank
             batch_of[sel] = np.arange(nfr)
             for f in sel:
                 bucket_of[int(f)] = bp

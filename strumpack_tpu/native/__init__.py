@@ -42,6 +42,8 @@ def _load():
         lib.nested_dissection.argtypes = [
             ctypes.c_int64, I64P, I64P, ctypes.c_int64] + [
             ctypes.POINTER(I64P)] * 6
+        lib.nested_dissection_ml.restype = ctypes.c_int64
+        lib.nested_dissection_ml.argtypes = lib.nested_dissection.argtypes
         lib.hostsym_free.argtypes = [I64P]
         _lib = lib
     except Exception:
@@ -84,8 +86,10 @@ def symbolic_factorization_native(Ap, tree):
     return [flat[off[i]:off[i + 1]] for i in range(tree.nseps)]
 
 
-def nested_dissection_native(rowptr, colind, n, leaf=32):
-    """C++ BFS-bisection ND; returns (perm, iperm, SeparatorTree) or None."""
+def nested_dissection_native(rowptr, colind, n, leaf=32, method="bfs"):
+    """C++ ND; method "bfs" (level-set bisection, ANDSparspak role) or
+    "ml" (multilevel HEM-coarsening + FM + vertex-cover separators, the
+    METIS_NodeND role).  Returns (perm, iperm, SeparatorTree) or None."""
     lib = _load()
     if lib is None:
         return None
@@ -94,8 +98,9 @@ def nested_dissection_native(rowptr, colind, n, leaf=32):
     colind = np.ascontiguousarray(colind, dtype=np.int64)
     I64P = ctypes.POINTER(ctypes.c_int64)
     outs = [I64P() for _ in range(6)]
-    ns = lib.nested_dissection(n, _as_i64p(rowptr), _as_i64p(colind), leaf,
-                               *[ctypes.byref(o) for o in outs])
+    fn = lib.nested_dissection_ml if method == "ml" else lib.nested_dissection
+    ns = fn(n, _as_i64p(rowptr), _as_i64p(colind), leaf,
+            *[ctypes.byref(o) for o in outs])
     if ns <= 0:
         return None
     perm = _take(lib, outs[0], n)

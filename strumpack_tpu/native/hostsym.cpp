@@ -11,6 +11,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <functional>
+#include <queue>
 #include <vector>
 
 using i64 = int64_t;
@@ -185,6 +187,412 @@ static i64 nd_rec(NDBuilder& B, const i64* rowptr, const i64* colind,
   return B.add_node(lo, B.count, l, r);
 }
 
+// ---------------------------------------------------------------------------
+// Multilevel vertex-separator nested dissection (METIS_NodeND role,
+// sparse/ordering/MetisReordering.hpp in the reference): heavy-edge-matching
+// coarsening -> greedy-growing initial bisection -> FM boundary refinement on
+// uncoarsening -> minimum vertex cover separator (Hopcroft-Karp + Koenig on
+// the boundary bipartite graph) -> recurse.
+// ---------------------------------------------------------------------------
+
+namespace ml {
+
+struct Graph {
+  i64 n = 0;
+  std::vector<i64> xadj, adj, ewgt, vwgt;
+};
+
+struct Rng {  // deterministic LCG (reproducible orderings)
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed * 6364136223846793005ull + 1) {}
+  uint64_t next() { s = s * 6364136223846793005ull + 1442695040888963407ull;
+                    return s >> 33; }
+  i64 below(i64 m) { return (i64)(next() % (uint64_t)m); }
+};
+
+// Heavy-edge matching: returns coarse vertex count; cmap[v] = coarse id.
+static i64 hem_match(const Graph& g, std::vector<i64>& cmap, Rng& rng) {
+  i64 n = g.n;
+  std::vector<i64> order(n);
+  for (i64 i = 0; i < n; ++i) order[i] = i;
+  for (i64 i = n - 1; i > 0; --i) std::swap(order[i], order[rng.below(i + 1)]);
+  cmap.assign(n, -1);
+  i64 nc = 0;
+  for (i64 oi = 0; oi < n; ++oi) {
+    i64 v = order[oi];
+    if (cmap[v] >= 0) continue;
+    i64 best = -1, bw = -1;
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+      i64 u = g.adj[p];
+      if (u != v && cmap[u] < 0 && g.ewgt[p] > bw) { bw = g.ewgt[p]; best = u; }
+    }
+    cmap[v] = nc;
+    if (best >= 0) cmap[best] = nc;
+    ++nc;
+  }
+  return nc;
+}
+
+// Contract g by cmap into gc (merged adjacency, summed edge/vertex weights).
+static void contract(const Graph& g, const std::vector<i64>& cmap, i64 nc,
+                     Graph& gc) {
+  gc.n = nc;
+  gc.vwgt.assign(nc, 0);
+  for (i64 v = 0; v < g.n; ++v) gc.vwgt[cmap[v]] += g.vwgt[v];
+  gc.xadj.assign(nc + 1, 0);
+  gc.adj.clear(); gc.ewgt.clear();
+  std::vector<i64> pos(nc, -1);        // scatter buffer: coarse nbr -> slot
+  std::vector<std::vector<i64>> members(nc);
+  for (i64 v = 0; v < g.n; ++v) members[cmap[v]].push_back(v);
+  std::vector<i64> nbr; std::vector<i64> wgt;
+  for (i64 c = 0; c < nc; ++c) {
+    nbr.clear(); wgt.clear();
+    for (i64 v : members[c])
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+        i64 u = cmap[g.adj[p]];
+        if (u == c) continue;
+        if (pos[u] < 0) { pos[u] = (i64)nbr.size(); nbr.push_back(u);
+                          wgt.push_back(g.ewgt[p]); }
+        else wgt[pos[u]] += g.ewgt[p];
+      }
+    for (i64 u : nbr) pos[u] = -1;
+    gc.xadj[c + 1] = gc.xadj[c] + (i64)nbr.size();
+    gc.adj.insert(gc.adj.end(), nbr.begin(), nbr.end());
+    gc.ewgt.insert(gc.ewgt.end(), wgt.begin(), wgt.end());
+  }
+}
+
+// Greedy graph growing bisection of g: BFS from a random start until half
+// the vertex weight is reached.  part[v] in {0,1}.  Returns edge cut.
+static i64 grow_bisect(const Graph& g, std::vector<i64>& part, Rng& rng) {
+  i64 n = g.n, total = 0;
+  for (i64 v = 0; v < n; ++v) total += g.vwgt[v];
+  part.assign(n, 1);
+  std::vector<i64> q; q.reserve(n);
+  std::vector<char> seen(n, 0);
+  i64 w0 = 0, target = total / 2;
+  i64 start = rng.below(n);
+  q.push_back(start); seen[start] = 1;
+  for (size_t h = 0; h < q.size() && w0 < target; ++h) {
+    i64 v = q[h];
+    part[v] = 0; w0 += g.vwgt[v];
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+      i64 u = g.adj[p];
+      if (!seen[u]) { seen[u] = 1; q.push_back(u); }
+    }
+    if ((i64)q.size() == (i64)h + 1 && h + 1 < (size_t)n && w0 < target) {
+      // disconnected: jump to an unseen vertex
+      for (i64 u = 0; u < n; ++u)
+        if (!seen[u]) { seen[u] = 1; q.push_back(u); break; }
+    }
+  }
+  i64 cut = 0;
+  for (i64 v = 0; v < n; ++v)
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+      if (part[v] != part[g.adj[p]]) cut += g.ewgt[p];
+  return cut / 2;
+}
+
+// One FM refinement pass (boundary Kernighan-Lin with rollback to the best
+// prefix); maintains balance |w0 - w1| <= max(imbal*total, maxvw).
+static void fm_refine(const Graph& g, std::vector<i64>& part, int npass) {
+  i64 n = g.n, total = 0, maxvw = 1;
+  for (i64 v = 0; v < n; ++v) { total += g.vwgt[v]; maxvw = std::max(maxvw, g.vwgt[v]); }
+  i64 allow = std::max((i64)(0.03 * total), 2 * maxvw);
+  std::vector<i64> gain(n);
+  std::vector<char> locked(n);
+  using QE = std::pair<i64, i64>;  // (gain, vertex), lazy invalidation
+  for (int pass = 0; pass < npass; ++pass) {
+    i64 w0 = 0;
+    for (i64 v = 0; v < n; ++v) if (part[v] == 0) w0 += g.vwgt[v];
+    std::priority_queue<QE> pq;
+    for (i64 v = 0; v < n; ++v) {
+      locked[v] = 0;
+      i64 in = 0, ex = 0;
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+        (part[g.adj[p]] == part[v] ? in : ex) += g.ewgt[p];
+      gain[v] = ex - in;
+      if (ex > 0) pq.push({gain[v], v});  // boundary only
+    }
+    std::vector<i64> moves;
+    i64 cur = 0, best = 0, bestk = -1;
+    int bad = 0;
+    while (!pq.empty() && bad < 100) {
+      auto [gn, v] = pq.top(); pq.pop();
+      if (locked[v] || gn != gain[v]) continue;
+      // balance check for moving v out of part[v]
+      i64 nw0 = part[v] == 0 ? w0 - g.vwgt[v] : w0 + g.vwgt[v];
+      if (std::llabs(2 * nw0 - total) > allow &&
+          std::llabs(2 * nw0 - total) > std::llabs(2 * w0 - total))
+        continue;
+      locked[v] = 1;
+      part[v] ^= 1; w0 = nw0;
+      cur += gn;
+      moves.push_back(v);
+      if (cur > best) { best = cur; bestk = (i64)moves.size() - 1; bad = 0; }
+      else ++bad;
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+        i64 u = g.adj[p];
+        if (locked[u]) continue;
+        i64 in = 0, ex = 0;
+        for (i64 q2 = g.xadj[u]; q2 < g.xadj[u + 1]; ++q2)
+          (part[g.adj[q2]] == part[u] ? in : ex) += g.ewgt[q2];
+        gain[u] = ex - in;
+        if (ex > 0) pq.push({gain[u], u});
+      }
+    }
+    // rollback moves after the best prefix
+    for (i64 k = (i64)moves.size() - 1; k > bestk; --k) part[moves[k]] ^= 1;
+    if (best == 0) break;
+  }
+}
+
+// Hopcroft-Karp maximum bipartite matching; left 0..nl-1, right 0..nr-1,
+// adjacency ladj.  Returns matchL (right id or -1 per left).
+static void hopcroft_karp(i64 nl, i64 nr,
+                          const std::vector<std::vector<i64>>& ladj,
+                          std::vector<i64>& matchL, std::vector<i64>& matchR) {
+  matchL.assign(nl, -1); matchR.assign(nr, -1);
+  const i64 INF = (i64)1e18;
+  std::vector<i64> dist(nl);
+  auto bfs = [&]() {
+    std::queue<i64> q;
+    bool found = false;
+    for (i64 u = 0; u < nl; ++u) {
+      if (matchL[u] < 0) { dist[u] = 0; q.push(u); }
+      else dist[u] = INF;
+    }
+    while (!q.empty()) {
+      i64 u = q.front(); q.pop();
+      for (i64 v : ladj[u]) {
+        i64 w = matchR[v];
+        if (w < 0) found = true;
+        else if (dist[w] == INF) { dist[w] = dist[u] + 1; q.push(w); }
+      }
+    }
+    return found;
+  };
+  std::function<bool(i64)> dfs = [&](i64 u) -> bool {
+    for (i64 v : ladj[u]) {
+      i64 w = matchR[v];
+      if (w < 0 || (dist[w] == dist[u] + 1 && dfs(w))) {
+        matchL[u] = v; matchR[v] = u; return true;
+      }
+    }
+    dist[u] = INF;
+    return false;
+  };
+  while (bfs())
+    for (i64 u = 0; u < nl; ++u)
+      if (matchL[u] < 0) dfs(u);
+}
+
+// Minimum vertex cover separator from an edge bipartition (Koenig's theorem
+// on the boundary bipartite graph via Hopcroft-Karp).  Returns where[]:
+// 0 = A, 1 = B, 2 = S.
+static std::vector<i64> vertex_cover_sep(const Graph& g,
+                                         const std::vector<i64>& part) {
+  i64 n = g.n;
+  std::vector<i64> lid(n, -1), rid(n, -1), lvert, rvert;
+  for (i64 v = 0; v < n; ++v) {
+    bool bnd = false;
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1] && !bnd; ++p)
+      if (part[g.adj[p]] != part[v]) bnd = true;
+    if (!bnd) continue;
+    if (part[v] == 0) { lid[v] = (i64)lvert.size(); lvert.push_back(v); }
+    else { rid[v] = (i64)rvert.size(); rvert.push_back(v); }
+  }
+  std::vector<std::vector<i64>> ladj(lvert.size());
+  for (i64 li = 0; li < (i64)lvert.size(); ++li) {
+    i64 v = lvert[li];
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+      i64 u = g.adj[p];
+      if (rid[u] >= 0 && part[u] == 1) ladj[li].push_back(rid[u]);
+    }
+  }
+  std::vector<i64> matchL, matchR;
+  hopcroft_karp((i64)lvert.size(), (i64)rvert.size(), ladj, matchL, matchR);
+  // Koenig: Z = left vertices reachable by alternating paths from unmatched
+  // left; cover = (L \ Z) + (R in Z)
+  std::vector<char> inZL(lvert.size(), 0), inZR(rvert.size(), 0);
+  std::queue<i64> q;
+  for (i64 li = 0; li < (i64)lvert.size(); ++li)
+    if (matchL[li] < 0) { inZL[li] = 1; q.push(li); }
+  while (!q.empty()) {
+    i64 li = q.front(); q.pop();
+    for (i64 ri : ladj[li]) {
+      if (inZR[ri]) continue;
+      inZR[ri] = 1;
+      i64 l2 = matchR[ri];
+      if (l2 >= 0 && !inZL[l2]) { inZL[l2] = 1; q.push(l2); }
+    }
+  }
+  std::vector<i64> where(n);
+  for (i64 v = 0; v < n; ++v) where[v] = part[v];
+  for (i64 li = 0; li < (i64)lvert.size(); ++li)
+    if (!inZL[li]) where[lvert[li]] = 2;
+  for (i64 ri = 0; ri < (i64)rvert.size(); ++ri)
+    if (inZR[ri]) where[rvert[ri]] = 2;
+  return where;
+}
+
+// Node-separator FM refinement (METIS-style): repeatedly move a separator
+// vertex into a side, pulling its other-side neighbors into the separator,
+// when that shrinks |S| (gain = 1 - #neighbors on the other side) subject
+// to balance.  where[v]: 0 = A, 1 = B, 2 = S.
+static void refine_sep(const Graph& g, std::vector<i64>& where, Rng& rng,
+                       int npass) {
+  i64 n = g.n;
+  i64 wa = 0, wb = 0;
+  for (i64 v = 0; v < n; ++v) {
+    if (where[v] == 0) wa += g.vwgt[v];
+    else if (where[v] == 1) wb += g.vwgt[v];
+  }
+  i64 total = wa + wb;
+  std::vector<i64> order(n);
+  for (int pass = 0; pass < npass; ++pass) {
+    bool improved = false;
+    i64 ns = 0;
+    for (i64 v = 0; v < n; ++v) if (where[v] == 2) order[ns++] = v;
+    for (i64 i = ns - 1; i > 0; --i)
+      std::swap(order[i], order[rng.below(i + 1)]);
+    for (i64 oi = 0; oi < ns; ++oi) {
+      i64 v = order[oi];
+      if (where[v] != 2) continue;
+      i64 pullA = 0, pullB = 0;  // weight pulled into S if v moves
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+        i64 u = g.adj[p];
+        if (where[u] == 0) pullB += g.vwgt[u];   // v->B pulls A-nbrs
+        else if (where[u] == 1) pullA += g.vwgt[u];  // v->A pulls B-nbrs
+      }
+      i64 gA = g.vwgt[v] - pullA, gB = g.vwgt[v] - pullB;
+      // prefer the higher gain; tie-break toward the lighter side
+      int side = -1;
+      if (gA > 0 && (gA > gB || (gA == gB && wa <= wb))) side = 0;
+      else if (gB > 0) side = 1;
+      else if (gA == 0 && wa + g.vwgt[v] < wb) side = 0;
+      else if (gB == 0 && wb + g.vwgt[v] < wa) side = 1;
+      if (side < 0) continue;
+      // balance guard: do not overload a side
+      i64 grow = g.vwgt[v];
+      if (side == 0 && 2 * (wa + grow) > (i64)(1.4 * total)) continue;
+      if (side == 1 && 2 * (wb + grow) > (i64)(1.4 * total)) continue;
+      where[v] = side;
+      if (side == 0) wa += g.vwgt[v]; else wb += g.vwgt[v];
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+        i64 u = g.adj[p];
+        if (where[u] == (side ^ 1)) {
+          where[u] = 2;
+          if (side == 0) wb -= g.vwgt[u]; else wa -= g.vwgt[u];
+        }
+      }
+      improved = true;
+    }
+    if (!improved) break;
+  }
+}
+
+// Multilevel edge bisection of the induced subgraph over ids, then minimum
+// vertex cover separator.  Outputs global-id lists.
+static void bisect_ml(const i64* rowptr, const i64* colind,
+                      const std::vector<i64>& ids, std::vector<i64>& g2l,
+                      Rng& rng, std::vector<i64>& left,
+                      std::vector<i64>& right, std::vector<i64>& sep) {
+  i64 n = (i64)ids.size();
+  // induced subgraph with local ids
+  Graph g0;
+  g0.n = n; g0.vwgt.assign(n, 1); g0.xadj.assign(n + 1, 0);
+  for (i64 i = 0; i < n; ++i) g2l[ids[i]] = i;
+  for (i64 i = 0; i < n; ++i) {
+    i64 v = ids[i];
+    for (i64 p = rowptr[v]; p < rowptr[v + 1]; ++p) {
+      i64 u = colind[p];
+      if (u != v && g2l[u] >= 0) {
+        g0.adj.push_back(g2l[u]);
+        g0.ewgt.push_back(1);
+      }
+    }
+    g0.xadj[i + 1] = (i64)g0.adj.size();
+  }
+
+  // coarsening chain
+  std::vector<Graph> graphs;
+  std::vector<std::vector<i64>> cmaps;
+  graphs.push_back(std::move(g0));
+  const i64 COARSE_N = 96;
+  while (graphs.back().n > COARSE_N) {
+    std::vector<i64> cmap;
+    i64 nc = hem_match(graphs.back(), cmap, rng);
+    if (nc > (i64)(0.95 * graphs.back().n)) break;  // stalled
+    Graph gc;
+    contract(graphs.back(), cmap, nc, gc);
+    cmaps.push_back(std::move(cmap));
+    graphs.push_back(std::move(gc));
+  }
+
+  // initial partition on the coarsest graph: best of 6 greedy growings
+  Graph& gc = graphs.back();
+  std::vector<i64> part, bestp;
+  i64 bestcut = -1;
+  for (int t = 0; t < 6; ++t) {
+    i64 cut = grow_bisect(gc, part, rng);
+    fm_refine(gc, part, 3);
+    i64 c2 = 0;
+    for (i64 v = 0; v < gc.n; ++v)
+      for (i64 p = gc.xadj[v]; p < gc.xadj[v + 1]; ++p)
+        if (part[v] != part[gc.adj[p]]) c2 += gc.ewgt[p];
+    c2 /= 2; (void)cut;
+    if (bestcut < 0 || c2 < bestcut) { bestcut = c2; bestp = part; }
+  }
+  part = bestp;
+
+  // uncoarsen with edge-cut FM refinement per level, then convert the
+  // finest bipartition to a vertex separator (Koenig cover) and shrink it
+  // with node-FM (METIS node refinement role)
+  for (i64 l = (i64)graphs.size() - 2; l >= 0; --l) {
+    std::vector<i64> pf(graphs[l].n);
+    for (i64 v = 0; v < graphs[l].n; ++v) pf[v] = part[cmaps[l][v]];
+    part = std::move(pf);
+    fm_refine(graphs[l], part, 2);
+  }
+  std::vector<i64> where = vertex_cover_sep(graphs[0], part);
+  refine_sep(graphs[0], where, rng, 4);
+  left.clear(); right.clear(); sep.clear();
+  for (i64 v = 0; v < n; ++v) {
+    if (where[v] == 2) sep.push_back(ids[v]);
+    else if (where[v] == 0) left.push_back(ids[v]);
+    else right.push_back(ids[v]);
+  }
+  for (i64 i = 0; i < n; ++i) g2l[ids[i]] = -1;  // reset scatter buffer
+}
+
+static i64 nd_rec_ml(NDBuilder& B, const i64* rowptr, const i64* colind,
+                     std::vector<i64>& ids, std::vector<i64>& g2l,
+                     Rng& rng, i64 leaf) {
+  i64 m = (i64)ids.size();
+  if (m <= leaf) {
+    i64 lo = B.emit(ids);
+    return B.add_node(lo, B.count, -1, -1);
+  }
+  std::vector<i64> left, right, sep;
+  bisect_ml(rowptr, colind, ids, g2l, rng, left, right, sep);
+  if ((left.empty() || right.empty()) && sep.empty()) {
+    i64 lo = B.emit(ids);
+    return B.add_node(lo, B.count, -1, -1);
+  }
+  // degenerate split (one side empty): emit the other side as one leaf tree
+  i64 l = -1, r = -1;
+  { std::vector<i64>().swap(ids); }  // release before recursion
+  if (!left.empty())
+    l = nd_rec_ml(B, rowptr, colind, left, g2l, rng, leaf);
+  if (!right.empty())
+    r = nd_rec_ml(B, rowptr, colind, right, g2l, rng, leaf);
+  i64 lo = B.emit(sep);
+  return B.add_node(lo, B.count, l, r);
+}
+
+}  // namespace ml
+
 // Returns number of separators; fills malloc'd arrays.
 i64 nested_dissection(i64 n, const i64* rowptr, const i64* colind, i64 leaf,
                       i64** out_perm, i64** out_sb, i64** out_se,
@@ -193,6 +601,32 @@ i64 nested_dissection(i64 n, const i64* rowptr, const i64* colind, i64 leaf,
   std::vector<i64> ids(n), mark(n, -1), lev(n, -1);
   for (i64 i = 0; i < n; ++i) ids[i] = i;
   nd_rec(B, rowptr, colind, ids, mark, lev, 0, leaf);
+  i64 ns = (i64)B.sb.size();
+  auto cpy = [](const std::vector<i64>& v) {
+    i64* p = (i64*)malloc(sizeof(i64) * std::max<size_t>(v.size(), 1));
+    std::memcpy(p, v.data(), sizeof(i64) * v.size());
+    return p;
+  };
+  *out_perm = cpy(B.perm);
+  *out_sb = cpy(B.sb);
+  *out_se = cpy(B.se);
+  *out_par = cpy(B.par);
+  *out_lc = cpy(B.lc);
+  *out_rc = cpy(B.rc);
+  return ns;
+}
+
+// Multilevel vertex-separator ND (METIS_NodeND role).  Same output
+// convention as nested_dissection.
+i64 nested_dissection_ml(i64 n, const i64* rowptr, const i64* colind,
+                         i64 leaf, i64** out_perm, i64** out_sb,
+                         i64** out_se, i64** out_par, i64** out_lc,
+                         i64** out_rc) {
+  NDBuilder B;
+  std::vector<i64> ids(n), g2l(n, -1);
+  for (i64 i = 0; i < n; ++i) ids[i] = i;
+  ml::Rng rng(0x9e3779b97f4a7c15ull);
+  ml::nd_rec_ml(B, rowptr, colind, ids, g2l, rng, leaf);
   i64 ns = (i64)B.sb.size();
   auto cpy = [](const std::vector<i64>& v) {
     i64* p = (i64*)malloc(sizeof(i64) * std::max<size_t>(v.size(), 1));

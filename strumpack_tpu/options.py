@@ -33,6 +33,7 @@ class CompressionType(enum.Enum):  # StrumpackOptions.hpp:92
     BLR = "blr"
     HSS = "hss"
     HODLR = "hodlr"
+    HODBF = "hodbf"   # HODLR with butterfly off-diagonal front blocks
     LOSSY = "lossy"
 
 
@@ -140,6 +141,10 @@ class SPOptions:
     compression_min_front_size: int = 512
     compression_leaf_size: int = 128
     lossy_precision: int = 16    # bits for LOSSY factor storage (8 or 16)
+    # HODLR fronts switch to butterfly-compressed off-diagonal blocks
+    # (HODBF) when > 0 (HODLROptions::butterfly_levels role); --sp_compression
+    # hodbf implies it for all levels
+    hodlr_butterfly_levels: int = 0
     blr: BLROptions = field(default_factory=BLROptions)
     hss: HSSOptions = field(default_factory=HSSOptions)
     # numeric dtypes (TPU-first: f32 factor + f64 refinement by default on
@@ -172,7 +177,9 @@ class SPOptions:
             "--sp_enable/disable_replace_tiny_pivots",
             "--sp_enable/disable_symmetric   "
             "--sp_enable/disable_positive_definite",
-            "--sp_compression none|blr|hss|hodlr|lossy",
+            "--sp_compression none|blr|hss|hodlr|hodbf|lossy",
+            "--hodlr_leaf_size/--hodlr_max_rank <int>  "
+            "--hodlr_rel_tol <float>  --hodlr_butterfly_levels <int>",
             "--sp_compression_min_sep_size <int>  "
             "--sp_compression_min_front_size <int>  "
             "--sp_compression_leaf_size <int>  --sp_lossy_precision 8|16",
@@ -214,6 +221,11 @@ class SPOptions:
             "hss_leaf_size": ("hss", "leaf_size"),
             "hss_d0": ("hss", "d0"), "hss_dd": ("hss", "dd"),
             "hss_max_rank": ("hss", "max_rank"),
+            # HODLR fronts share the HSS cluster/rank knobs (the reference
+            # keeps a separate HODLROptions; the knobs' roles coincide here)
+            "hodlr_leaf_size": ("hss", "leaf_size"),
+            "hodlr_max_rank": ("hss", "max_rank"),
+            "hodlr_butterfly_levels": "hodlr_butterfly_levels",
         }
         float_map = {
             "sp_rel_tol": "rel_tol", "sp_abs_tol": "abs_tol",
@@ -221,6 +233,8 @@ class SPOptions:
             "blr_abs_tol": ("blr", "abs_tol"),
             "hss_rel_tol": ("hss", "rel_tol"),
             "hss_abs_tol": ("hss", "abs_tol"),
+            "hodlr_rel_tol": ("hss", "rel_tol"),
+            "hodlr_abs_tol": ("hss", "abs_tol"),
         }
         bool_flags = {
             "sp_verbose": ("verbose", True),

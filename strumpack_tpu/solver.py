@@ -157,8 +157,13 @@ class SparseSolver:
                    ReorderingStrategy.AND, ReorderingStrategy.PARMETIS,
                    ReorderingStrategy.SCOTCH, ReorderingStrategy.PTSCOTCH):
             from .sparse.ordering.nd import nested_dissection
+            # METIS-family names get the native multilevel bisection
+            # (HEM coarsening + FM + vertex-cover separators); ND/AND is
+            # the BFS level-set bisection (ANDSparspak role)
+            ml = m not in (ReorderingStrategy.ND, ReorderingStrategy.AND)
             perm, iperm, tree = nested_dissection(
-                Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf)
+                Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf,
+                splitter="ml" if ml else "bfs")
         elif m == ReorderingStrategy.SPECTRAL:
             from .sparse.ordering.nd import nested_dissection
             perm, iperm, tree = nested_dissection(

@@ -142,17 +142,21 @@ def nested_dissection(rowptr, colind, n, leaf: int = 32,
 
     The diagonal is ignored; rowptr/colind must be the structurally
     symmetrized pattern (reference symmetrizes before ND too,
-    SparseSolverBase.cpp:353).  splitter: "bfs" (ANDSparspak role) or
-    "spectral" (Fiedler bisection, ReorderingStrategy::SPECTRAL role).
+    SparseSolverBase.cpp:353).  splitter: "bfs" (ANDSparspak role), "ml"
+    (native multilevel bisection with vertex-cover separators, the
+    METIS_NodeND role) or "spectral" (Fiedler bisection,
+    ReorderingStrategy::SPECTRAL role).
     """
-    if splitter == "bfs":
+    if splitter in ("bfs", "ml"):
         try:
             from ...native import nested_dissection_native
-            out = nested_dissection_native(rowptr, colind, n, leaf=leaf)
+            out = nested_dissection_native(rowptr, colind, n, leaf=leaf,
+                                           method=splitter)
             if out is not None:
                 return out
         except Exception:
             pass
+        splitter = "bfs"  # pure-Python fallback is the BFS bisection
     rowptr = np.asarray(rowptr)
     colind = np.asarray(colind)
     tb = TreeBuilder()

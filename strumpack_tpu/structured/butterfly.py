@@ -5,15 +5,17 @@ representation of oscillatory operators, used for the off-diagonal blocks of
 HODBF fronts, ButterflyMatrix.hpp:194) — a native level-batched
 implementation of the classic butterfly factorization (Li et al. 2015):
 
-A matrix A [m, m] (m = b * 2^D) satisfies the complementary low-rank
-property when every block pairing a row node at level l with a col node at
-level D-l has numerical rank <= r (e.g. Fourier integral operators, DFT).
-The factorization stores:
+A matrix A [m, n] (m = br * 2^D, n = bc * 2^D; rectangular blocks are the
+F12/F21 case of HODBF fronts, ButterflyMatrix.hpp:194 construct from HODLR
+row/col trees) satisfies the complementary low-rank property when every
+block pairing a row node at level l with a col node at level D-l has
+numerical rank <= r (e.g. Fourier integral operators, DFT).  The
+factorization stores:
 
-  * row side: leaf bases Uleaf [2^D, b, r] and per-level transfer tensors
+  * row side: leaf bases Uleaf [2^D, br, r] and per-level transfer tensors
     Tr[l] [2^l, 2^(D-l), 2r, r] for l = D-1 .. h  (rows coarsen while the
     partner column block refines);
-  * col side: Vleaf [2^D, b, r] and Tv[l] likewise (from A^H);
+  * col side: Vleaf [2^D, bc, r] and Tv[l] likewise (from A^H);
   * mid-level core B [2^h, 2^h, r, r] with h = D/2.
 
 Both construction (batched truncated bases per level) and matvec (transfer-
@@ -43,27 +45,40 @@ def bf_depth(m: int, leaf_size=None) -> int:
     return D
 
 
+def bf_depth2(m: int, n: int, leaf_size=None) -> int:
+    """Even butterfly depth usable by a rectangular [m, n] block: both
+    sides must split into 2^D blocks with leaves >= min(16, leaf_size)."""
+    min_leaf = min(16, leaf_size or 16)
+    D = 0
+    while (m % (2 ** (D + 2)) == 0 and n % (2 ** (D + 2)) == 0
+           and min(m, n) // (2 ** (D + 2)) >= min_leaf):
+        D += 2
+    return D
+
+
 def bf_compress(A, D: int, r: int, tol):
-    """Butterfly-compress A [m, m] (m = b 2^D, D even) at max rank r.
+    """Butterfly-compress A [m, n] (m = br 2^D, n = bc 2^D, D even) at max
+    rank r.
 
     Returns a pytree dict {Uleaf, Vleaf, B, Tr: {l: T}, Tv: {l: T},
-    rkU, rkV}; all shapes are functions of (m, D, r) only, so this is
+    rkU, rkV}; all shapes are functions of (m, n, D, r) only, so this is
     vmap-compatible over a leading batch of A blocks."""
-    m = A.shape[0]
+    m, n = A.shape
     h = D // 2
-    b = m // (2 ** D)
     nl = 2 ** D
 
     def sweep(M):
         """Row-side sweep of M: returns (leaf bases, transfers, R_h)."""
+        rows, cols = M.shape
+        b = rows // nl
         # leaves: l = D, partner = full column range
-        blocks = M.reshape(nl, b, m)
+        blocks = M.reshape(nl, b, cols)
         if r >= b:
             # identity leaf basis padded to rank r (rank <= b anyway)
             U = jnp.zeros((nl, b, r), M.dtype)
             U = U.at[:, :, :b].set(jnp.eye(b, dtype=M.dtype)[None])
             rk = jnp.full((nl,), b)
-            R = jnp.zeros((nl, r, m), M.dtype).at[:, :b, :].set(blocks)
+            R = jnp.zeros((nl, r, cols), M.dtype).at[:, :b, :].set(blocks)
             R = R[:, None]
         else:
             U, rk = _trunc_basis(blocks, tol, r)     # [nl, b, r]
@@ -72,7 +87,7 @@ def bf_compress(A, D: int, r: int, tol):
         Ts = {}
         for l in range(D - 1, h - 1, -1):
             ni, nj = 2 ** l, 2 ** (D - l)
-            C2 = m // nj
+            C2 = cols // nj
             # children rows 2i,2i+1 at l+1 with partner J = j//2
             Rp = R.reshape(ni, 2, nj // 2, r, 2, C2)
             S = Rp.transpose(0, 2, 4, 1, 3, 5).reshape(
@@ -86,13 +101,13 @@ def bf_compress(A, D: int, r: int, tol):
     Uleaf, Tr, Rrow, rkU = sweep(A)
     Vleaf, Tv, Rcol, rkV = sweep(A.conj().T)
 
-    # explicit mid-level col bases Vbig[j, i] [m/2^h, r] to form B:
+    # explicit mid-level col bases Vbig[j, i] [n/2^h, r] to form B:
     # Vbig_l[j, i] = blockdiag(Vbig_{l+1}[j0, I], Vbig_{l+1}[j1, I]) @
     #                Tv_l[j, i]  with I = i // 2
     Vbig = Vleaf[:, None]   # [2^l, 2^(D-l), blk, r] at l = D
     for l in range(D - 1, h - 1, -1):
         ni, nj = 2 ** l, 2 ** (D - l)
-        blk = m // (2 ** (l + 1))
+        blk = n // (2 ** (l + 1))
         Vp = Vbig.reshape(ni, 2, nj // 2, blk, r)
         Tl = Tv[l]          # [ni(col), nj(row-partner), 2r, r]
         bd = jnp.zeros((ni, nj // 2, 2 * blk, 2 * r), Tl.dtype)
@@ -100,7 +115,7 @@ def bf_compress(A, D: int, r: int, tol):
         bd = bd.at[:, :, blk:, r:].set(Vp[:, 1])
         bd = jnp.repeat(bd, 2, axis=1)   # same children for both i bits
         Vbig = jnp.einsum("ijkr,ijrs->ijks", bd, Tl)
-    # Vbig now [2^h(col j), 2^h(row i), m/2^h, r]
+    # Vbig now [2^h(col j), 2^h(row i), n/2^h, r]
     # B[i, j] = Rrow_h[i, j] @ Vbig[j, i]
     B = jnp.einsum("ijrc,jics->ijrs", Rrow, Vbig)
     return dict(Uleaf=Uleaf, Vleaf=Vleaf, B=B, Tr=Tr, Tv=Tv,
@@ -108,15 +123,15 @@ def bf_compress(A, D: int, r: int, tol):
 
 
 def bf_matvec(bf, x, D: int, r: int):
-    """Apply a butterfly factorization to x [m, k] -> [m, k]."""
+    """Apply a butterfly factorization to x [n, k] -> [m, k]."""
     h = D // 2
     nl = 2 ** D
     m = bf["Uleaf"].shape[0] * bf["Uleaf"].shape[1]
-    b = m // nl
+    bc = bf["Vleaf"].shape[1]
     k = x.shape[1]
     # col-side upsweep: c[j, i] = V_{j,i}^H x(cols_j)
     c = jnp.einsum("nbr,nbk->nrk", bf["Vleaf"].conj(),
-                   x.reshape(nl, b, k))[:, None]  # [2^l, 2^(D-l), r, k]
+                   x.reshape(nl, bc, k))[:, None]  # [2^l, 2^(D-l), r, k]
     for l in range(D - 1, h - 1, -1):
         ni, nj = 2 ** l, 2 ** (D - l)
         cp = c.reshape(ni, 2, nj // 2, r, k)
@@ -139,6 +154,17 @@ def bf_matvec(bf, x, D: int, r: int):
     return y.reshape(m, k)
 
 
+def bf_rmatvec(bf, y, D: int, r: int):
+    """Apply the conjugate transpose, y [m, k] -> A^H y [n, k]: the
+    factorization is structurally symmetric, so swap the row/col sides and
+    conjugate-transpose the mid core."""
+    swapped = dict(Uleaf=bf["Vleaf"], Vleaf=bf["Uleaf"],
+                   B=jnp.einsum("ijrs->jisr", bf["B"]).conj(),
+                   Tr=bf["Tv"], Tv=bf["Tr"],
+                   rkU=bf["rkV"], rkV=bf["rkU"])
+    return bf_matvec(swapped, y, D, r)
+
+
 def bf_memory(bf) -> int:
     tot = bf["Uleaf"].size + bf["Vleaf"].size + bf["B"].size
     for T in list(bf["Tr"].values()) + list(bf["Tv"].values()):
@@ -150,14 +176,13 @@ class ButterflyMatrix:
     def __init__(self, A, levels=None, leaf_size=None, max_rank=16,
                  rel_tol=1e-8):
         A = jnp.asarray(A)
-        m = A.shape[0]
-        assert A.shape[0] == A.shape[1], "square blocks only (this round)"
+        m, n = A.shape
         if levels is None:
-            D = bf_depth(m, leaf_size)
+            D = bf_depth2(m, n, leaf_size)
         else:
             D = int(levels)
-            assert D % 2 == 0 and m % (2 ** D) == 0
-        self.m, self.D = m, D
+            assert D % 2 == 0 and m % (2 ** D) == 0 and n % (2 ** D) == 0
+        self.m, self.n, self.D = m, n, D
         self.h = D // 2
         self.b = m // (2 ** D)
         # butterfly ranks are ~ leaf + log(1/tol); r may exceed the leaf
@@ -177,6 +202,16 @@ class ButterflyMatrix:
             x = x[:, None]
         y = bf_matvec(self.bf, x, self.D, self.r)
         return y[:, 0] if squeeze else y
+
+    # ------------------------------------------------------------------
+    def rmatvec(self, y):
+        """A^H y (the reference ButterflyMatrix supports Trans apply)."""
+        squeeze = y.ndim == 1
+        y = jnp.asarray(y, self.dtype)
+        if squeeze:
+            y = y[:, None]
+        x = bf_rmatvec(self.bf, y, self.D, self.r)
+        return x[:, 0] if squeeze else x
 
     # ------------------------------------------------------------------
     def memory(self) -> int:

@@ -53,6 +53,42 @@ def test_native_nd_valid_tree():
     assert tree.sep_size(tree.root) < 6 * 30
 
 
+def test_native_multilevel_nd():
+    """Multilevel ND (METIS_NodeND role: HEM coarsening + FM + Koenig
+    vertex-cover separators): valid tree/permutation, and clearly less
+    fill than the BFS level-set bisection on an irregular graph."""
+    from strumpack_tpu.native import nested_dissection_native
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    from strumpack_tpu.sparse.symbolic import (symbolic_factorization,
+                                               factor_nonzeros)
+    import scipy.sparse as sp
+    from scipy.spatial import cKDTree
+    rng = np.random.default_rng(3)
+    npts = 3000
+    pts = rng.standard_normal((npts, 2))
+    _, idx = cKDTree(pts).query(pts, k=7)
+    rows = np.repeat(np.arange(npts), 6)
+    S = sp.csr_matrix((np.ones(6 * npts), (rows, idx[:, 1:].ravel())),
+                      shape=(npts, npts))
+    S = (S + S.T + sp.identity(npts) * 10).tocsr()
+    A = CSRMatrix(npts, S.indptr.astype(np.int64),
+                  S.indices.astype(np.int64), S.data)
+    out = nested_dissection_native(A.rowptr, A.colind, A.n, leaf=16,
+                                   method="ml")
+    if out is None:
+        import pytest
+        pytest.skip("no C++ toolchain")
+    fills = {}
+    for method in ("ml", "bfs"):
+        perm, iperm, tree = nested_dissection_native(
+            A.rowptr, A.colind, A.n, leaf=16, method=method)
+        tree.check(A.n)
+        assert sorted(perm.tolist()) == list(range(A.n))
+        Ap = A.permute(perm, iperm)
+        fills[method] = factor_nonzeros(tree, symbolic_factorization(Ap, tree))
+    assert fills["ml"] < 0.8 * fills["bfs"], fills
+
+
 def test_device_ell_spmv_matches_scipy():
     from strumpack_tpu.ops.spmv import DeviceELL
     A = poisson3d(8)

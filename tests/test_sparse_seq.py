@@ -370,6 +370,48 @@ def test_hodlr_fronts():
     assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
 
 
+def test_hodbf_fronts():
+    """HODBF fronts (FrontHODLR with butterfly levels, FrontHODLR.cpp
+    compress F12/F21 as ButterflyMatrix): interior fronts store
+    F11^-1 F12 / F21 as rectangular butterfly factorizations."""
+    from strumpack_tpu import CompressionType
+    from strumpack_tpu.sparse.gen import poisson3d
+    A = poisson3d(16)
+    opts = SPOptions(compression=CompressionType.HODBF,
+                     compression_min_sep_size=64, rel_tol=1e-6)
+    opts.hss.rel_tol = 1e-8
+    opts.hss.leaf_size = 32
+    opts.hss.max_rank = 32
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(16, 16, 16)
+    hodbf_bps = [bp for lvl in s.plan.levels for bp in lvl if bp.hodbf]
+    assert hodbf_bps, "no HODBF fronts selected"
+    # at least one interior front must actually use the butterfly pair
+    assert any(bp.bf_D >= 2 and bp.u_pad > 0 for bp in hodbf_bps)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
+
+
+def test_hodbf_cli_flags():
+    """--sp_compression hodbf and the --hodlr_* knobs parse (reference
+    HODLROptions CLI role)."""
+    opts = SPOptions()
+    rest = opts.set_from_command_line(
+        ["--sp_compression", "hodbf", "--hodlr_leaf_size", "64",
+         "--hodlr_rel_tol", "1e-7", "--hodlr_butterfly_levels", "2"])
+    assert rest == []
+    from strumpack_tpu import CompressionType
+    assert opts.compression == CompressionType.HODBF
+    assert opts.hss.leaf_size == 64
+    assert opts.hss.rel_tol == 1e-7
+    assert opts.hodlr_butterfly_levels == 2
+
+
 def test_matrix_io_roundtrip(tmp_path):
     """Matrix-market read/write round trip (test_matrix_IO.cpp analog)."""
     from strumpack_tpu.sparse.csr import CSRMatrix
