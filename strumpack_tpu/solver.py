@@ -194,8 +194,11 @@ class SparseSolver:
                 perm = amd_order(Asym.rowptr, Asym.colind, Asym.n)
             iperm = np.empty_like(perm)
             iperm[perm] = np.arange(A.n)
-            tree = from_etree_perm(Asym.rowptr, Asym.colind, Asym.n,
-                                   perm, iperm, leaf=opts.nd_leaf)
+            # relaxed amalgamation (SYMQAMD role) composes an extra
+            # permutation that pulls small child supernodes into parents
+            perm, iperm, tree = from_etree_perm(
+                Asym.rowptr, Asym.colind, Asym.n, perm, iperm,
+                leaf=opts.nd_leaf, return_perm=True)
         else:
             return ReturnCode.REORDERING_ERROR
 

@@ -98,15 +98,29 @@ class TreeBuilder:
         return perm, iperm, tree
 
 
-def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32):
+def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32,
+                    amalg: int = 8, return_perm: bool = False):
     """Build a separator tree from an arbitrary fill-reducing permutation by
     supernode-amalgamating the elimination tree of the permuted pattern.
 
-    Role of SeparatorTree::build_sep_tree_from_perm (SeparatorTree.cpp), used
-    for RCM/AMD/MMD orderings that do not produce a tree themselves.  The
-    amalgamation here is simple relaxed-chain merging: a child is merged into
-    its parent when the merged supernode stays under ``leaf`` or the child is
-    an only child whose column count is small.
+    Role of SeparatorTree::build_sep_tree_from_perm (SeparatorTree.cpp) plus
+    the MUMPS SYMQAMD relaxed amalgamation (mumps_symqamd.hpp, enabled by
+    --sp_enable_MUMPS_SYMQAMD in the reference), used for RCM/AMD/MMD
+    orderings that do not produce a tree themselves.  Two amalgamation
+    stages:
+
+    1. chain supernodes: consecutive columns forming an etree chain merge
+       up to ``leaf`` columns (fundamental-supernode relaxation);
+    2. relaxed amalgamation: a child supernode of <= ``amalg`` columns is
+       absorbed into its parent (the absorbed columns are *reordered* to sit
+       directly below the parent's), trading a little fill for far fewer /
+       larger fronts — exactly the tradeoff that feeds the level-batched TPU
+       execution model.
+
+    Stage 2 changes the ordering, so with ``return_perm`` the function
+    returns ``(perm2, iperm2, tree)`` where perm2 is the composed
+    permutation; the plain return (tree only, stage 2 disabled) is kept for
+    backward compatibility.
     """
     from scipy.sparse import csr_matrix
     A = csr_matrix((np.ones(len(colind), np.int8), colind, rowptr),
@@ -133,7 +147,7 @@ def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32):
                     break
                 i = a
 
-    # group consecutive columns into supernodes of size <= leaf along chains
+    # ---- stage 1: group consecutive chain columns into supernodes
     snode = np.full(n, -1, dtype=np.int64)
     heads = []
     j = 0
@@ -153,16 +167,45 @@ def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32):
         if p >= 0:
             sparent[s] = snode[p]
 
-    # binarize: multiple children -> chain of internal nodes with empty seps
+    # member column lists + children lists (supernodes are in postorder-
+    # compatible ascending order: sparent[s] > s always)
+    members = [list(range(lo, hi)) for lo, hi in heads]
     kids = [[] for _ in range(ns)]
-    roots = []
     for s in range(ns):
         if sparent[s] >= 0:
             kids[sparent[s]].append(s)
-        else:
-            roots.append(s)
 
+    # ---- stage 2: relaxed amalgamation (SYMQAMD role) — absorb small
+    # child supernodes into their parent, reordering their columns up
+    if return_perm and amalg > 0:
+        alive = np.ones(ns, dtype=bool)
+        for s in range(ns):  # ascending = children before parents
+            p = sparent[s]
+            if p < 0 or not alive[s]:
+                continue
+            if len(members[s]) <= amalg:
+                # absorb: columns join the parent's supernode (eliminated
+                # together in one dense block), children reparent
+                members[p] = members[s] + members[p]
+                for c in kids[s]:
+                    sparent[c] = p
+                kids[p] = kids[s] + [c for c in kids[p] if c != s]
+                alive[s] = False
+                members[s] = []
+                kids[s] = []
+    else:
+        alive = np.ones(ns, dtype=bool)
+
+    roots = [s for s in range(ns) if alive[s] and sparent[s] < 0]
+
+    # ---- emit: postorder traversal producing the (re)composed column
+    # order and contiguous supernode ranges; binarize multi-child nodes
+    # with empty-separator internal nodes
     sb, se, par, lc, rc = [], [], [], [], []
+    order = []  # permuted-matrix column ids in final order
+
+    def _set_parent(c, p):
+        par[c] = p
 
     def build(s):
         ch = [build(c) for c in kids[s]]
@@ -173,20 +216,20 @@ def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32):
             left = ch[0]
             for c in ch[1:-1]:  # fold extras into dummy internal nodes
                 nid = len(sb)
-                sb.append(heads[s][0])
-                se.append(heads[s][0])
+                sb.append(len(order))
+                se.append(len(order))
                 par.append(-1)
                 lc.append(left)
                 rc.append(c)
-                par[left] = nid if False else par[left]
-                # fix parents below
                 _set_parent(left, nid)
                 _set_parent(c, nid)
                 left = nid
             right = ch[-1]
+        lo = len(order)
+        order.extend(members[s])
         nid = len(sb)
-        sb.append(heads[s][0])
-        se.append(heads[s][1])
+        sb.append(lo)
+        se.append(len(order))
         par.append(-1)
         lc.append(left)
         rc.append(right)
@@ -196,9 +239,6 @@ def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32):
             _set_parent(right, nid)
         return nid
 
-    def _set_parent(c, p):
-        par[c] = p
-
     if len(roots) == 1:
         build(roots[0])
     else:
@@ -207,8 +247,8 @@ def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32):
         left = built[0]
         for c in built[1:]:
             nid = len(sb)
-            sb.append(n)
-            se.append(n)
+            sb.append(len(order))
+            se.append(len(order))
             par.append(-1)
             lc.append(left)
             rc.append(c)
@@ -217,4 +257,10 @@ def from_etree_perm(rowptr, colind, n, perm, iperm, leaf: int = 32):
             left = nid
 
     tree = SeparatorTree(sb, se, par, lc, rc)
-    return tree
+    if not return_perm:
+        return tree
+    order = np.asarray(order, dtype=np.int64)
+    perm2 = np.asarray(perm, dtype=np.int64)[order]
+    iperm2 = np.empty_like(perm2)
+    iperm2[perm2] = np.arange(n, dtype=np.int64)
+    return perm2, iperm2, tree
