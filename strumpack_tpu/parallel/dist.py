@@ -48,12 +48,43 @@ def _shard_bucket(arr, mesh, nf):
         arr, NamedSharding(mesh, P(*((None,) * arr.ndim))))
 
 
+def plan_arrays_for_mesh(pdev: PlanDev, mesh: Mesh):
+    """The plan's index arrays as arrays usable under ``mesh``.  Single
+    process: the PlanDev device copies.  Multi-process (multi-host — the
+    reference's across-node MPI distribution, SURVEY.md 2.12): every
+    process holds the same host plan, so the arrays are lifted to GLOBAL
+    replicated arrays over the full mesh; XLA then lowers the program's
+    collectives onto ICI within a host and DCN between hosts."""
+    import jax
+    if jax.process_count() == 1:
+        return pdev.arrays
+    from jax.experimental import multihost_utils
+    host = {f"{li},{bi}": bd.host_arrays
+            for li, lvl in enumerate(pdev.levels)
+            for bi, bd in enumerate(lvl)}
+    return jax.tree_util.tree_map(
+        lambda a: multihost_utils.host_local_array_to_global_array(
+            a, mesh, P()), host)
+
+
+def to_global(x, mesh):
+    """Replicate a host array onto every device of a (possibly multi-host)
+    mesh; no-op wrapper in single-process mode."""
+    import jax
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jnp.asarray(x)
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(x, mesh, P())
+
+
 def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
                               thresh: float = 0.0):
     """Build a jitted (Avals, b) -> x full factor+solve step with bucket
     batches sharded over mesh axis 'b'."""
     plan = pdev.plan
     n = plan.n
+    arrays = plan_arrays_for_mesh(pdev, mesh)
 
     def step(Avals, b):
         Avals = Avals.astype(dtype)
@@ -67,7 +98,7 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
             parts = []
             for bi, bd in enumerate(level):
                 bp = bd.bp
-                a = pdev.arrays[f"{li},{bi}"]
+                a = arrays[f"{li},{bi}"]
                 F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
                 F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
                     vals_ext[a["asm_vidx"]])
@@ -124,7 +155,7 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
             parts = []
             for bi, bd in enumerate(level):
                 bp = bd.bp
-                a = pdev.arrays[f"{li},{bi}"]
+                a = arrays[f"{li},{bi}"]
                 bloc = jnp.concatenate(
                     [bext[a["sep_glob"]],
                      jnp.zeros((bp.nf, bp.u_pad, 1), dtype)], axis=1)
@@ -154,7 +185,7 @@ def make_sharded_factor_solve(pdev: PlanDev, mesh: Mesh, dtype=jnp.float32,
         for li in range(len(pdev.levels) - 1, -1, -1):
             for bi, bd in enumerate(pdev.levels[li]):
                 bp = bd.bp
-                a = pdev.arrays[f"{li},{bi}"]
+                a = arrays[f"{li},{bi}"]
                 xupd = xext[a["upd_glob"]]
                 entry = lus[(li, bi)]
                 if isinstance(entry, tuple) and entry[0] == "2d":

@@ -64,7 +64,7 @@ class DistributedSparseSolver(SparseSolver):
 
         from ..frontal import numeric
         if solver == KrylovSolver.DIRECT:
-            from .dist import make_sharded_factor_solve
+            from .dist import make_sharded_factor_solve, to_global
             if self._step is None:
                 eps = np.finfo(np.dtype(opts.factor_dtype)).eps
                 thresh = (np.sqrt(eps) * self.Ap.norm1()
@@ -72,9 +72,12 @@ class DistributedSparseSolver(SparseSolver):
                 self._step = make_sharded_factor_solve(
                     self.pdev, self.mesh, dtype=fd, thresh=thresh)
             with self.mesh:
+                # to_global lifts the (replicated) inputs onto the full
+                # mesh — in multi-process mode that is what makes the same
+                # program run across hosts (DCN between, ICI within)
                 xp = np.asarray(self._step(
-                    jnp.asarray(self.Ap.data, dtype=fd),
-                    jnp.asarray(bp, dtype=fd)))
+                    to_global(np.asarray(self.Ap.data, dtype=fd), self.mesh),
+                    to_global(np.asarray(bp, dtype=fd), self.mesh)))
             self.its = 1
             return self._transform_x(xp), ReturnCode.SUCCESS
 

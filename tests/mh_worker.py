@@ -1,0 +1,52 @@
+"""Worker process for the multi-host test (spawned by test_dist.py).
+
+Each process owns 4 virtual CPU devices; two processes form one global
+8-device mesh via jax.distributed — the single-machine emulation of the
+reference's multi-node MPI runs (test/CMakeLists.txt oversubscription
+role, SURVEY.md section 4).  Runs the sharded DIRECT factor+solve of the
+DistributedSparseSolver across both processes and checks the residual.
+"""
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from strumpack_tpu import KrylovSolver, SPOptions  # noqa: E402
+from strumpack_tpu.parallel.driver import DistributedSparseSolver  # noqa: E402
+from strumpack_tpu.sparse.gen import poisson2d  # noqa: E402
+from strumpack_tpu.utils.params import ReturnCode  # noqa: E402
+
+devs = np.array(jax.devices())
+assert len(devs) == 2 * nproc * 2, (len(devs), nproc)
+assert len(jax.local_devices()) == 4
+mesh = Mesh(devs.reshape(-1, 2, 2), ("b", "r", "c"))
+
+A = poisson2d(24)
+opts = SPOptions(krylov_solver=KrylovSolver.DIRECT, factor_dtype="float64",
+                 refine_dtype="float64")
+s = DistributedSparseSolver(mesh, opts)
+s.set_csr_matrix(A)
+s.reorder(24, 24)
+rng = np.random.default_rng(0)
+xex = rng.standard_normal(A.n)
+b = A.spmv(xex)
+x, rc = s.solve(b)
+assert rc == ReturnCode.SUCCESS, rc
+res = A.max_scaled_residual(x, b)
+print(f"proc {pid}: rc={rc} res={res:.2e}", flush=True)
+assert res < 1e-10, res
+print(f"MHOK {pid}", flush=True)
