@@ -61,8 +61,12 @@ class HODBFMatrix:
         self.D = Ap.reshape(nl, t, nl, t).transpose(0, 2, 1, 3)[
             jnp.arange(nl), jnp.arange(nl)]
         # per level: butterfly pytrees for the two sibling blocks, with the
-        # butterfly depth chosen per block size
-        self.bf12, self.bf21, self.bf_D = [], [], []
+        # butterfly depth chosen per block size and the per-level rank
+        # capped at what a block of that size can use (r <= block/2 keeps
+        # the factorization smaller than dense; _trunc_basis's tolerance
+        # masks adapt the EFFECTIVE rank per node below the cap, the
+        # ButterflyPACK adaptive-rank role)
+        self.bf12, self.bf21, self.bf_D, self.bf_r = [], [], [], []
         for lev in range(L - 1, -1, -1):
             half = 2 ** lev
             ml = mp // (2 * half)
@@ -72,10 +76,12 @@ class HODBFMatrix:
             A12 = Ar[i1, :, i2, :]    # [half, ml, ml]
             A21 = Ar[i2, :, i1, :]
             Dh = bf_depth(ml, self.t)
-            comp = jax.vmap(lambda Ab: bf_compress(Ab, Dh, r, tol))
+            rl = min(r, max(8, ml // 2))
+            comp = jax.vmap(lambda Ab: bf_compress(Ab, Dh, rl, tol))
             self.bf12.append(comp(A12))
             self.bf21.append(comp(A21))
             self.bf_D.append(Dh)
+            self.bf_r.append(rl)
 
     # ------------------------------------------------------------------
     def matvec(self, x):
@@ -92,9 +98,9 @@ class HODBFMatrix:
         for li, lev in enumerate(range(L - 1, -1, -1)):
             half = 2 ** lev
             ml = mp // (2 * half)
-            Dh = self.bf_D[li]
+            Dh, rl = self.bf_D[li], self.bf_r[li]
             xb = xp.reshape(half, 2, ml, k)
-            mv = jax.vmap(lambda bf, xx: bf_matvec(bf, xx, Dh, r))
+            mv = jax.vmap(lambda bf, xx: bf_matvec(bf, xx, Dh, rl))
             y12 = mv(self.bf12[li], xb[:, 1])
             y21 = mv(self.bf21[li], xb[:, 0])
             y = y + jnp.stack([y12, y21], axis=1).reshape(mp, k)
