@@ -69,6 +69,69 @@ class BucketDev:
                  for k, v in bp.samp.items()})
 
 
+class PackedArrays:
+    """The plan's index arrays packed into ONE device blob per dtype,
+    unpacked by LAZY static slices at trace time.
+
+    Each individual device_put through the remote-TPU tunnel pays full
+    round-trip latency (547 leaves = ~3.3 s at 32^3; one 8 MB blob =
+    ~0.1 s), and so does each of the 547 output buffers of an on-device
+    unpack program.  So the per-array views are never materialized:
+    PackedArrays is a pytree whose only leaves are the blobs; the numeric
+    programs take it as a jit argument and ``arrays[key][name]`` inside
+    the trace becomes a static slice+reshape of the blob tracer, which
+    XLA fuses into the consumers."""
+
+    def __init__(self, blobs, layout):
+        self.blobs = blobs    # {dtype_name: 1-D array} (device or tracer)
+        self.layout = layout  # {key: {name: (dtype_name, offset, shape)}}
+
+    def __getitem__(self, key):
+        entry = self.layout[key]
+        out = {}
+        for name, (dt, off, shape) in entry.items():
+            size = int(np.prod(shape)) if shape else 1
+            out[name] = jax.lax.slice_in_dim(
+                self.blobs[dt], off, off + size).reshape(shape)
+        return out
+
+
+def _pa_flatten(pa):
+    keys = sorted(pa.blobs)
+    return [pa.blobs[k] for k in keys], (keys, pa.layout)
+
+
+def _pa_unflatten(aux, children):
+    keys, layout = aux
+    return PackedArrays(dict(zip(keys, children)), layout)
+
+
+jax.tree_util.register_pytree_node(PackedArrays, _pa_flatten, _pa_unflatten)
+
+
+def _put_packed(host):
+    """Pack a {key: {name: array}} host dict into PackedArrays with the
+    blobs device_put once."""
+    blobs_parts = {}
+    offsets = {}
+    layout = {}
+    for key, entry in host.items():
+        lay = {}
+        for name, arr in entry.items():
+            arr = np.asarray(arr)
+            dt = arr.dtype.name
+            parts = blobs_parts.setdefault(dt, [])
+            off = offsets.get(dt, 0)
+            parts.append(arr.ravel())
+            offsets[dt] = off + arr.size
+            lay[name] = (dt, off, arr.shape)
+        layout[key] = lay
+    blobs = {dt: (np.concatenate(parts) if parts else
+                  np.empty(0, dtype=dt))
+             for dt, parts in blobs_parts.items()}
+    return PackedArrays(jax.device_put(blobs), layout)
+
+
 class PlanDev:
     def __init__(self, plan: LevelPlan):
         self.plan = plan
@@ -77,7 +140,7 @@ class PlanDev:
         host = {f"{li},{bi}": bd.host_arrays
                 for li, lvl in enumerate(self.levels)
                 for bi, bd in enumerate(lvl)}
-        self.arrays = jax.device_put(host)
+        self.arrays = _put_packed(host)
         self._jit_cache = {}
 
     def _derive_cb_pairs(self):

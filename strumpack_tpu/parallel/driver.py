@@ -89,13 +89,19 @@ class DistributedSparseSolver(SparseSolver):
                 blr_tol=opts.blr.rel_tol, spd=opts.positive_definite,
                 hss_tol=opts.hss.rel_tol,
                 matmul_precision=opts.matmul_precision)
-            from .krylov_dist import make_sharded_gmres, make_sharded_ir
+            from .krylov_dist import (make_sharded_bicgstab,
+                                      make_sharded_gmres, make_sharded_ir)
             rd = jnp.dtype(opts.refine_dtype)
             bdev = jnp.asarray(bp, dtype=rd)
             if solver in (KrylovSolver.PREC_GMRES, KrylovSolver.GMRES):
                 fn = make_sharded_gmres(self.pdev, self.mesh, opts.rel_tol,
                                         opts.abs_tol, opts.maxit,
                                         opts.gmres_restart)
+            elif solver in (KrylovSolver.PREC_BICGSTAB,
+                            KrylovSolver.BICGSTAB):
+                fn = make_sharded_bicgstab(self.pdev, self.mesh,
+                                           opts.rel_tol, opts.abs_tol,
+                                           opts.maxit)
             else:
                 fn = make_sharded_ir(self.pdev, self.mesh, opts.rel_tol,
                                      opts.abs_tol, opts.maxit)

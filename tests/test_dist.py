@@ -112,6 +112,26 @@ def test_sharded_gmres():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_bicgstab():
+    """Mesh-sharded preconditioned BiCGStab (BiCGStabMPI analog): the
+    whole iteration is one jitted while_loop over the mesh."""
+    from strumpack_tpu.parallel.krylov_dist import make_sharded_bicgstab
+    from strumpack_tpu.ops.spmv import DeviceELL
+    A, Ap, perm, pdev = _problem(nx=16, leaf=4)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    ell = DeviceELL(Ap, dtype=np.float64)
+    fac = numeric.factorize(pdev, Ap.data.astype(np.float32))
+    fn = make_sharded_bicgstab(pdev, mesh, rtol=1e-10, atol=1e-14, maxit=60)
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(Ap.n)
+    b = Ap.spmv(xex)
+    with mesh:
+        x, it, rel = fn(fac.tree, ell.vals, ell.cols, jnp.asarray(b))
+    assert np.linalg.norm(np.asarray(x) - xex) / np.linalg.norm(xex) < 1e-5
+    assert 1 <= int(it) < 61
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_distributed_driver_direct():
     """DistributedSparseSolver (SparseSolverMPIDist role), direct solve."""
     from strumpack_tpu import KrylovSolver, ReturnCode, SPOptions
