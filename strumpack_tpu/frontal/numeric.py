@@ -821,6 +821,20 @@ class Factors:
                     exact = False
         return npos, nneg, nzero, exact
 
+    def subnormals(self) -> int:
+        """Count subnormal entries in the numeric factors (the reference's
+        subnormal diagnostic, SparseSolverBase.hpp:368-372 /
+        DenseMatrix subnormals counting)."""
+        cnt = 0
+        for k in ("lu", "L21", "U12"):
+            for v in self.tree.get(k, {}).values():
+                a = np.abs(np.asarray(_dequantize(v, self.dtype)))
+                if a.size == 0:
+                    continue
+                tiny = np.finfo(a.dtype).tiny
+                cnt += int(((a > 0) & (a < tiny)).sum())
+        return cnt
+
     def pivot_growth(self, amax: float) -> float:
         """max |U| over the factors / max |A| (reference pivot-growth
         diagnostic, SparseSolverBase.hpp:368-372)."""

@@ -466,6 +466,13 @@ class SparseSolver:
             self.factor()
         return self.fac.pivot_growth(float(np.abs(self.Ap.data).max()))
 
+    def subnormals(self) -> int:
+        """Count of subnormal entries in the factors
+        (SparseSolverBase.hpp:368-372 subnormals diagnostic)."""
+        if not self._factored:
+            self.factor()
+        return self.fac.subnormals()
+
     def draw(self, path: str) -> None:
         """Write a gnuplot-compatible visualization of the factor layout
         (EliminationTree::draw parity, EliminationTree.cpp:213): one

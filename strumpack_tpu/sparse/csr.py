@@ -157,6 +157,20 @@ class CSRMatrix:
         import scipy.io
         scipy.io.mmwrite(path, self.to_scipy())
 
+    def save_binary(self, path: str) -> None:
+        """Binary save (role of the reference CSRMatrix binary IO,
+        CSRMatrix.hpp print_binary/read_binary): rowptr/colind/data in one
+        compressed container."""
+        np.savez_compressed(path, n=self.n, rowptr=self.rowptr,
+                            colind=self.colind, data=self.data,
+                            symm_sparse=self.symm_sparse)
+
+    @classmethod
+    def from_binary(cls, path: str) -> "CSRMatrix":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return cls(int(z["n"]), z["rowptr"], z["colind"], z["data"],
+                   symm_sparse=bool(z["symm_sparse"]))
+
     def __repr__(self):
         return (f"CSRMatrix(n={self.n}, nnz={self.nnz}, "
                 f"dtype={self.data.dtype})")

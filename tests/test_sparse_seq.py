@@ -554,3 +554,24 @@ def test_hss_sampling_interior_fronts():
     assert rc == ReturnCode.SUCCESS
     assert A.max_scaled_residual(x, b) < 1e2 * opts.rel_tol
     assert s.Krylov_iterations() < 40
+
+
+def test_binary_io_roundtrip(tmp_path):
+    """CSR binary save/load round trip (CSRMatrix binary IO role)."""
+    from strumpack_tpu.sparse.csr import CSRMatrix
+    A = poisson2d(10)
+    p = str(tmp_path / "a.npz")
+    A.save_binary(p)
+    B = CSRMatrix.from_binary(p)
+    assert B.n == A.n and B.nnz == A.nnz
+    assert np.array_equal(B.rowptr, A.rowptr)
+    assert np.array_equal(B.colind, A.colind)
+    assert np.array_equal(B.data, A.data)
+
+
+def test_subnormals_diagnostic():
+    """Subnormal count of the factors (SparseSolverBase.hpp:368-372)."""
+    A = poisson2d(12)
+    s = SparseSolver(SPOptions())
+    s.set_csr_matrix(A)
+    assert s.subnormals() == 0  # well-scaled Poisson: no subnormals
