@@ -47,13 +47,16 @@ typedef enum {
   STRUMPACK_INACCURATE_INERTIA = 5
 } STRUMPACK_RETURN_CODE;
 
-/* StrumpackOptions.hpp:92 CompressionType */
+/* StrumpackOptions.hpp:92-107 CompressionType (reference ABI order) */
 typedef enum {
   STRUMPACK_NONE = 0,
   STRUMPACK_HSS = 1,
   STRUMPACK_BLR = 2,
   STRUMPACK_HODLR = 3,
-  STRUMPACK_LOSSY = 5
+  STRUMPACK_BLR_HODLR = 4,
+  STRUMPACK_ZFP_BLR_HODLR = 5,
+  STRUMPACK_LOSSLESS = 6,
+  STRUMPACK_LOSSY = 7
 } STRUMPACK_COMPRESSION_TYPE;
 
 /* StrumpackOptions.hpp:166 KrylovSolver */

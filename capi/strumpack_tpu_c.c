@@ -40,7 +40,8 @@ static const char* GLUE_SRC =
 "          12: 'nd'}\n"
 "_KRYLOV = {0: 'auto', 1: 'direct', 2: 'refine', 3: 'prec_gmres',\n"
 "           4: 'gmres', 5: 'prec_bicgstab', 6: 'bicgstab'}\n"
-"_COMP = {0: 'none', 1: 'hss', 2: 'blr', 3: 'hodlr', 5: 'lossy'}\n"
+"_COMP = {0: 'none', 1: 'hss', 2: 'blr', 3: 'hodlr', 4: 'blr_hodlr',\n"
+"         5: 'zfp_blr_hodlr', 6: 'lossless', 7: 'lossy'}\n"
 "\n"
 "class Handle:\n"
 "    def __init__(self, precision, argv, verbose):\n"

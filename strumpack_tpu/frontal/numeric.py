@@ -918,6 +918,10 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
         with jax.default_matmul_precision(matmul_precision):
             tree = fn(pdev.arrays, Avals,
                       jnp.asarray(thresh, rdt), jnp.asarray(blr_tol, rdt))
+        # zero-size marker carrying the factor COMPUTE dtype: quantized
+        # (lossy) buckets store bf16/int8 leaves, so dtype probes on the
+        # first "lu" entry would be wrong for mixed lossy plans
+        tree["fdt"] = jnp.zeros((0,), dtype)
         fac = Factors(pdev, dtype, tree)
         fac.spd = spd
         return fac
@@ -942,6 +946,7 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
                               jnp.asarray(blr_tol, rdt))
             for k in tree:
                 tree[k].update(out[k])
+    tree["fdt"] = jnp.zeros((0,), dtype)
     fac = Factors(pdev, dtype, tree)
     fac.spd = spd
     return fac

@@ -236,9 +236,31 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                             fronts=sel, ds=ds_b, du=du_b)
             sp, up, p = bp.s_pad, bp.u_pad, bp.p
             if compression is not None:
-                from ..options import CompressionType
-                if (compression.compression == CompressionType.BLR
-                        and sp >= compression.compression_min_sep_size):
+                from ..options import CompressionType as CT
+                comp = compression.compression
+                min_sep = compression.compression_min_sep_size
+                # composite per-front-size schemes resolve to an effective
+                # type per bucket (FrontFactory.hpp:92-124 +
+                # StrumpackOptions.hpp:1023-1040 per-level thresholds)
+                eff = None
+                if comp in (CT.BLR_HODLR, CT.ZFP_BLR_HODLR):
+                    hodlr_min = getattr(compression,
+                                        "hodlr_min_sep_size", 512)
+                    lossy_min = getattr(compression,
+                                        "lossy_min_sep_size", 8)
+                    if sp >= hodlr_min:
+                        eff = CT.HODLR
+                    elif sp >= min_sep:
+                        eff = CT.BLR
+                    elif comp == CT.ZFP_BLR_HODLR and sp >= lossy_min:
+                        eff = CT.LOSSY
+                elif comp == CT.LOSSLESS:
+                    # ZFP reversible role: factors stored exactly (see
+                    # CompressionType.LOSSLESS doc in options.py)
+                    eff = None
+                elif comp != CT.NONE and sp >= min_sep:
+                    eff = comp
+                if eff == CT.BLR:
                     from .blr import choose_tile
                     bp.blr = True
                     bp.tile = choose_tile(sp, up, compression.blr.leaf_size)
@@ -249,24 +271,19 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                         bp.adm_band = 1
                     bp.blr_variant = getattr(compression.blr,
                                              "factor_algorithm", "rl")
-                elif (compression.compression == CompressionType.LOSSY
-                        and sp >= compression.compression_min_sep_size):
+                elif eff == CT.LOSSY:
                     bp.lossy = getattr(compression, "lossy_precision", 16)
-                elif (compression.compression in (CompressionType.HSS,
-                                                  CompressionType.HODLR,
-                                                  CompressionType.HODBF)
-                        and sp >= compression.compression_min_sep_size):
+                elif eff in (CT.HSS, CT.HODLR, CT.HODBF):
                     bf_levels = getattr(compression,
                                         "hodlr_butterfly_levels", 0)
-                    if compression.compression == CompressionType.HSS:
+                    if eff == CT.HSS:
                         if getattr(compression.hss, "sampling", False):
                             # sampling-constructed fronts (root AND
                             # interior): never assemble the dense front
                             bp.hss_sample = True
                         else:
                             bp.hss = True
-                    elif (compression.compression == CompressionType.HODBF
-                            or bf_levels > 0):
+                    elif eff == CT.HODBF or bf_levels > 0:
                         bp.hodbf = True
                     else:
                         bp.hodlr = True

@@ -116,6 +116,8 @@ def make_device_gmres(pdev, rtol, atol, maxit, restart):
 
 
 def _fdt(fac_tree):
+    if "fdt" in fac_tree:   # explicit marker (robust to quantized buckets)
+        return fac_tree["fdt"].dtype
     for v in fac_tree["lu"].values():
         return v.dtype
     for v in fac_tree["blr"].values():

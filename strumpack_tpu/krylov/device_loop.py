@@ -52,6 +52,8 @@ def make_device_ir(pdev, ell, rtol, atol, maxit):
 
 
 def _factor_dtype(fac_tree):
+    if "fdt" in fac_tree:   # explicit marker (robust to quantized buckets)
+        return fac_tree["fdt"].dtype
     for v in fac_tree["lu"].values():
         return v.dtype
     for v in fac_tree["blr"].values():

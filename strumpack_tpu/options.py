@@ -34,7 +34,16 @@ class CompressionType(enum.Enum):  # StrumpackOptions.hpp:92
     HSS = "hss"
     HODLR = "hodlr"
     HODBF = "hodbf"   # HODLR with butterfly off-diagonal front blocks
+    # composite per-front-size schemes (FrontFactory.hpp:92-124):
+    # large fronts HODLR, medium BLR (+ small lossy for ZFP_BLR_HODLR)
+    BLR_HODLR = "blr_hodlr"
+    ZFP_BLR_HODLR = "zfp_blr_hodlr"
     LOSSY = "lossy"
+    # LOSSLESS (ZFP reversible mode in the reference): factors kept exact.
+    # On TPU there is no on-chip lossless float codec that beats plain f32
+    # storage, so this stores full precision — residuals are exact like the
+    # reference's, without the reference's ~1.2x memory saving.
+    LOSSLESS = "lossless"
 
 
 class MatchingJob(enum.Enum):  # StrumpackOptions.hpp:120
@@ -140,6 +149,12 @@ class SPOptions:
     compression_min_sep_size: int = 256
     compression_min_front_size: int = 512
     compression_leaf_size: int = 128
+    # per-type thresholds for the composite schemes
+    # (StrumpackOptions.hpp:1023-1040 compression_min_sep_size(l)):
+    # BLR_HODLR / ZFP_BLR_HODLR pick HODLR above hodlr_min_sep_size, BLR
+    # above compression_min_sep_size, lossy above lossy_min_sep_size
+    hodlr_min_sep_size: int = 512
+    lossy_min_sep_size: int = 8
     lossy_precision: int = 16    # bits for LOSSY factor storage (8 or 16)
     # HODLR fronts switch to butterfly-compressed off-diagonal blocks
     # (HODBF) when > 0 (HODLROptions::butterfly_levels role); --sp_compression
@@ -177,7 +192,9 @@ class SPOptions:
             "--sp_enable/disable_replace_tiny_pivots",
             "--sp_enable/disable_symmetric   "
             "--sp_enable/disable_positive_definite",
-            "--sp_compression none|blr|hss|hodlr|hodbf|lossy",
+            "--sp_compression none|blr|hss|hodlr|hodbf|blr_hodlr|"
+            "zfp_blr_hodlr|lossy|lossless",
+            "--sp_hodlr_min_sep_size <int>  --sp_lossy_min_sep_size <int>",
             "--hodlr_leaf_size/--hodlr_max_rank <int>  "
             "--hodlr_rel_tol <float>  --hodlr_butterfly_levels <int>",
             "--sp_compression_min_sep_size <int>  "
@@ -226,6 +243,8 @@ class SPOptions:
             "hodlr_leaf_size": ("hss", "leaf_size"),
             "hodlr_max_rank": ("hss", "max_rank"),
             "hodlr_butterfly_levels": "hodlr_butterfly_levels",
+            "sp_hodlr_min_sep_size": "hodlr_min_sep_size",
+            "sp_lossy_min_sep_size": "lossy_min_sep_size",
         }
         float_map = {
             "sp_rel_tol": "rel_tol", "sp_abs_tol": "abs_tol",

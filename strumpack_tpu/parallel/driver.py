@@ -71,7 +71,11 @@ class DistributedSparseSolver(SparseSolver):
                           if opts.replace_tiny_pivots else 0.0)
                 self._step = make_sharded_factor_solve(
                     self.pdev, self.mesh, dtype=fd, thresh=thresh)
-            with self.mesh:
+            # full-f32 matmul precision: TPU's default bf16 matmuls degrade
+            # the direct residual to ~1e-3 (PERF.md); precision is baked at
+            # trace time, so the context must wrap the jitted call
+            with self.mesh, jax.default_matmul_precision(
+                    opts.matmul_precision):
                 # to_global lifts the (replicated) inputs onto the full
                 # mesh — in multi-process mode that is what makes the same
                 # program run across hosts (DCN between, ICI within)
@@ -105,7 +109,9 @@ class DistributedSparseSolver(SparseSolver):
             else:
                 fn = make_sharded_ir(self.pdev, self.mesh, opts.rel_tol,
                                      opts.abs_tol, opts.maxit)
-            x, it, rel = fn(fac.tree, self.ell.vals, self.ell.cols, bdev)
+            with jax.default_matmul_precision(opts.matmul_precision):
+                x, it, rel = fn(fac.tree, self.ell.vals, self.ell.cols,
+                                bdev)
             xp = np.asarray(x)
         self.its = int(it)
         self.achieved_rtol = float(rel)

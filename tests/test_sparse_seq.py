@@ -575,3 +575,49 @@ def test_subnormals_diagnostic():
     s = SparseSolver(SPOptions())
     s.set_csr_matrix(A)
     assert s.subnormals() == 0  # well-scaled Poisson: no subnormals
+
+
+def test_blr_hodlr_composite():
+    """BLR_HODLR / ZFP_BLR_HODLR composite schemes (FrontFactory.hpp:92-124):
+    large fronts HODLR, medium BLR, small lossy/dense per thresholds."""
+    from strumpack_tpu.sparse.gen import poisson3d
+    A = poisson3d(16)
+    opts = SPOptions(compression=CompressionType.ZFP_BLR_HODLR,
+                     compression_min_sep_size=64, rel_tol=1e-4)
+    opts.hodlr_min_sep_size = 256
+    opts.lossy_min_sep_size = 8
+    opts.hss.rel_tol = 1e-8
+    opts.hss.leaf_size = 32
+    opts.blr.rel_tol = 1e-8
+    opts.blr.leaf_size = 32
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder(16, 16, 16)
+    kinds = {"hodlr": 0, "blr": 0, "lossy": 0}
+    for lvl in s.plan.levels:
+        for bp in lvl:
+            if bp.hodlr:
+                kinds["hodlr"] += 1
+            elif bp.blr:
+                kinds["blr"] += 1
+            elif bp.lossy:
+                kinds["lossy"] += 1
+    assert kinds["hodlr"] >= 1 and kinds["blr"] >= 1 and kinds["lossy"] >= 1, kinds
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < ERROR_TOL * opts.rel_tol
+
+    # LOSSLESS: accepted, exact factors (ZFP reversible role)
+    opts2 = SPOptions(compression=CompressionType.LOSSLESS)
+    rest = opts2.set_from_command_line(["--sp_compression", "lossless"])
+    assert rest == [] and opts2.compression == CompressionType.LOSSLESS
+    s2 = SparseSolver(opts2)
+    s2.set_csr_matrix(poisson2d(16))
+    A2 = poisson2d(16)
+    b2 = A2.spmv(np.ones(A2.n))
+    x2, rc2 = s2.solve(b2)
+    assert rc2 == ReturnCode.SUCCESS
+    assert A2.max_scaled_residual(x2, b2) < 1e-12
