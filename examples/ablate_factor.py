@@ -78,23 +78,34 @@ def main():
 
     for mode, name in ((0, "assembly"), (1, "assembly+extadd"),
                        (2, "full factor")):
+        # statically unrolled repetition chained by data dependence —
+        # lax loops are host-stepped through the remote tunnel (PERF.md),
+        # so a fori_loop would measure tunnel latency, not compute
         def loop(arrays, vals_in, n_it):
-            def body(i, carry):
-                # data dependence chains the iterations
-                v = vals_in + (carry * 0.0)
-                return phases(arrays, v, mode)
-            return jax.lax.fori_loop(0, n_it, body, jnp.zeros((), jnp.float32))
+            carry = jnp.zeros((), jnp.float32)
+            for _ in range(n_it):
+                carry = phases(arrays, vals_in + carry * 0.0, mode)
+            return carry
 
         fn = jax.jit(loop, static_argnames=("n_it",))
         with jax.default_matmul_precision("float32"):
-            r = fn(pdev.arrays, vals, 1)   # compile + warm
+            r = fn(pdev.arrays, vals, 1)   # compile + warm single
+            device_sync(r)
+            r = fn(pdev.arrays, vals, iters)   # compile the unrolled chain
             device_sync(r)
             t0 = time.perf_counter()
             r = fn(pdev.arrays, vals, iters)
             device_sync(r)
-            dt = (time.perf_counter() - t0) / iters
-        print(f"{name}: {dt*1e3:.2f} ms/iter (on-device, {iters} iters)",
-              flush=True)
+            t_n = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            r = fn(pdev.arrays, vals, 1)
+            device_sync(r)
+            t_1 = time.perf_counter() - t0
+        # subtract the single-dispatch wall (tunnel latency) baseline
+        dt = (t_n - t_1) / max(iters - 1, 1)
+        print(f"{name}: {dt*1e3:.2f} ms/iter on-device "
+              f"(1-dispatch wall {t_1*1e3:.0f} ms, {iters}x chain "
+              f"{t_n*1e3:.0f} ms)", flush=True)
 
 
 if __name__ == "__main__":
