@@ -47,7 +47,14 @@ MAX_PANEL_P = 8192      # [p, w] f32 panel in VMEM: 4 MB at p=8192
 def _panel_kernel(thresh_ref, A_ref, out_ref, perm_ref, *,
                   row0, w, slim, p, pivot):
     """Eliminate the w columns of one full-height panel, diagonal at
-    ``row0``; pivot rows restricted to [row0+k, slim)."""
+    ``row0``; pivot rows restricted to [row0+k, slim).
+
+    Per column: one [p, w] masked reduction extracts the column, two
+    extract the pivot-candidate rows, and ONE fused elementwise expression
+    applies the row swap + rank-1 update + multiplier/pivot column write
+    (the value-carried row swap and the update compose arithmetically, so
+    Mosaic fuses them into a single read-modify-write pass — dynamic
+    row/column slices are not lowerable on the lane dimension)."""
     G = A_ref[0]                            # [p, w]
     thresh = thresh_ref[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
@@ -57,40 +64,47 @@ def _panel_kernel(thresh_ref, A_ref, out_ref, perm_ref, *,
     def step(k, carry):
         G, P = carry
         r = row0 + k
-        colk = jnp.sum(jnp.where(cols == k, G, 0.0), axis=1,
-                       keepdims=True)       # [p, 1]
+        col = jnp.sum(jnp.where(cols == k, G, 0.0), axis=1,
+                      keepdims=True)        # [p, 1]
         if pivot:
-            colk_a = jnp.where((rows >= r) & (rows < slim),
-                               jnp.abs(colk), -1.0)
-            amax = jnp.max(colk_a, axis=0, keepdims=True)   # [1, 1]
-            cand = jnp.where(colk_a == amax, rows, p)
-            rpiv = jnp.min(cand, axis=0, keepdims=True)     # [1, 1]
+            cola = jnp.where((rows >= r) & (rows < slim),
+                             jnp.abs(col), -1.0)
+            amax = jnp.max(cola, axis=0, keepdims=True)     # [1, 1]
+            rpiv = jnp.min(jnp.where(cola == amax, rows, p),
+                           axis=0, keepdims=True)           # [1, 1]
             is_k, is_r = rows == r, rows == rpiv
+            # swapped column by scalar fix-up (cheap [p,1] reductions)
+            ck = jnp.sum(jnp.where(is_k, col, 0.0), axis=0, keepdims=True)
+            cr = jnp.sum(jnp.where(is_r, col, 0.0), axis=0, keepdims=True)
+            col = col + is_k * (cr - ck) + is_r * (ck - cr)
+            # pivot-row content after the swap = old row rpiv
             gk = jnp.sum(jnp.where(is_k, G, 0.0), axis=0, keepdims=True)
             gr = jnp.sum(jnp.where(is_r, G, 0.0), axis=0, keepdims=True)
-            G = jnp.where(is_r, jnp.broadcast_to(gk, (p, w)), G)
-            G = jnp.where(is_k, jnp.broadcast_to(gr, (p, w)), G)
             pk = jnp.sum(jnp.where(is_k, P, 0), axis=0, keepdims=True,
                          dtype=jnp.int32)
             pr = jnp.sum(jnp.where(is_r, P, 0), axis=0, keepdims=True,
                          dtype=jnp.int32)
             P = jnp.where(is_r, jnp.broadcast_to(pk, (p, 1)), P)
             P = jnp.where(is_k, jnp.broadcast_to(pr, (p, 1)), P)
-            colk = jnp.sum(jnp.where(cols == k, G, 0.0), axis=1,
-                           keepdims=True)
-        piv = jnp.sum(jnp.where(rows == r, colk, 0.0), axis=0,
+        else:
+            is_k = rows == r
+            is_r = is_k
+            gk = jnp.sum(jnp.where(is_k, G, 0.0), axis=0, keepdims=True)
+            gr = gk
+        piv = jnp.sum(jnp.where(rows == r, col, 0.0), axis=0,
                       keepdims=True)        # [1, 1]
         piv = jnp.where(jnp.abs(piv) < thresh,
                         jnp.where(piv == 0, thresh,
                                   jnp.sign(piv) * thresh), piv)
-        m = jnp.where(rows > r, colk / piv, 0.0)            # [p, 1]
-        rowk = jnp.sum(jnp.where(rows == r, G, 0.0), axis=0,
-                       keepdims=True)       # [1, w]
-        G = G - m * jnp.where(cols > k, rowk, 0.0)
-        G = jnp.where((cols == k) & (rows > r),
-                      jnp.broadcast_to(m, (p, w)), G)
-        G = jnp.where((cols == k) & (rows == r),
-                      jnp.broadcast_to(piv, (p, w)), G)
+        m = jnp.where(rows > r, col / piv, 0.0)             # [p, 1]
+        # ONE fused pass: row swap (arithmetic), rank-1 update right of
+        # column k, multipliers + replaced pivot into column k
+        swapped = G + is_r * (gk - gr) + is_k * (gr - gk)
+        updated = swapped - m * jnp.where(cols > k, gr, 0.0)
+        colk_new = jnp.where(rows > r, m,
+                             jnp.where(rows == r,
+                                       jnp.broadcast_to(piv, (p, 1)), col))
+        G = jnp.where(cols == k, colk_new, updated)
         return G, P
 
     G, P = jax.lax.fori_loop(0, w, step, (G, P0))
