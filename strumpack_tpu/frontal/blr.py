@@ -40,19 +40,25 @@ def choose_tile(s_pad: int, u_pad: int, leaf: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("r", "algo"))
-def _compress_tiles(T, tol, r, algo="aca"):
+def _compress_tiles(T, tol, r, algo="rrqr"):
     """Batched low-rank tile compression at relative tolerance.
 
     Returns (U [..., t, r], V [..., r, t], ranks [...]) with columns beyond
     the numerical rank zero-masked (BLROptions rel_tol semantics).
-    algo: "aca" (default — full-pivoted cross approximation, compiles to a
-    small fori_loop program, BLROptions LowRankAlgorithm::ACA role) or
-    "svd" (truncated SVD, tightest ranks but heavy to compile on TPU,
-    the geqp3tol/RRQR role).
+    algo (BLROptions LowRankAlgorithm roles): "rrqr" (default, as in the
+    reference — tolerance-stopped pivoted QR, ops/rrqr.py), "aca" / "baca"
+    (cross approximation, element-based), or "svd" (truncated SVD,
+    tightest ranks but heavy to compile on TPU).
     """
+    if algo == "rrqr":
+        from ..ops.rrqr import rrqr
+        return rrqr(T, tol, r)
     if algo == "aca":
         from ..ops.aca import aca
         return aca(T, tol, r)
+    if algo == "baca":
+        from ..ops.aca import baca
+        return baca(T, tol, r)
     Uf, S, Vh = jnp.linalg.svd(T, full_matrices=False)
     s0 = S[..., :1]
     keep = S > tol * jnp.maximum(s0, jnp.finfo(T.dtype).tiny)
@@ -65,9 +71,10 @@ def _compress_tiles(T, tol, r, algo="aca"):
 
 
 @partial(jax.jit,
-         static_argnames=("t", "r", "nts", "nt", "adm_band", "variant"))
+         static_argnames=("t", "r", "nts", "nt", "adm_band", "variant",
+                          "lr_algo"))
 def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
-                      variant="rl"):
+                      variant="rl", lr_algo="rrqr"):
     """Batched BLR partial factorization of [nf, p, p] fronts.
 
     Tiles: nt x nt of size t (p = nt*t); the leading nts tiles are the
@@ -174,8 +181,8 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
                 lub, colk, left_side=False, lower=False)
 
         # compress the eliminated block row/col tiles (j > k + band)
-        Uw, Vw, rw = _compress_tiles(W, tol, r)
-        Uz, Vz, rz = _compress_tiles(Z, tol, r)
+        Uw, Vw, rw = _compress_tiles(W, tol, r, algo=lr_algo)
+        Uz, Vz, rz = _compress_tiles(Z, tol, r, algo=lr_algo)
         maskj = (col_ids > k + band)[None, :, None, None]
         Uw = jnp.where(maskj, Uw, 0.0)
         Vw = jnp.where(maskj, Vw, 0.0)

@@ -563,7 +563,8 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
         lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk = B.blr_factor_bucket(
             F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt,
             adm_band=bp.adm_band,
-            variant=getattr(bp, "blr_variant", "rl"))
+            variant=getattr(bp, "blr_variant", "rl"),
+            lr_algo=getattr(bp, "lr_algo", "rrqr"))
         out["blr"][key] = (lud, perms, Uu, Vu, Ul, Vl, Du, Dl)
         out["blr_ranks"][key] = rk
     elif bp.hss or bp.hodlr or bp.hodbf:

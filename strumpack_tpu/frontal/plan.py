@@ -109,6 +109,7 @@ class BucketPlan:
     max_rank: int = 0            # BLR fixed max rank r
     adm_band: int = 0            # 0 = weak admissibility, 1 = strong
     blr_variant: str = "rl"      # "rl" eager / "ll" LUAR-accumulated
+    lr_algo: str = "rrqr"        # tile compressor (LowRankAlgorithm role)
     lossy: int = 0               # 0 = off, 8 = int8, 16 = bf16 storage
     hss: bool = False
     hodlr: bool = False
@@ -271,6 +272,8 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                         bp.adm_band = 1
                     bp.blr_variant = getattr(compression.blr,
                                              "factor_algorithm", "rl")
+                    bp.lr_algo = getattr(compression.blr,
+                                         "low_rank_algorithm", "rrqr")
                 elif eff == CT.LOSSY:
                     bp.lossy = getattr(compression, "lossy_precision", 16)
                 elif eff in (CT.HSS, CT.HODLR, CT.HODBF):

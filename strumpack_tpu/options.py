@@ -100,6 +100,11 @@ class BLROptions:
     # accumulated low-rank updates (BLRMatrix.hpp:275-300) applied as one
     # contraction per block row/col and once for the Schur complement.
     factor_algorithm: str = "rl"
+    # tile compressor (BLR/BLROptions.hpp:129 LowRankAlgorithm, reference
+    # default RRQR): "rrqr" (geqp3tol-role pivoted QR, ops/rrqr.py),
+    # "aca", "baca", or "svd" (tightest ranks, heavy to compile on TPU)
+    low_rank_algorithm: str = "rrqr"
+    baca_blocksize: int = 4
 
 
 @dataclass
@@ -235,6 +240,7 @@ class SPOptions:
             "sp_lossy_precision": "lossy_precision",
             "blr_leaf_size": ("blr", "leaf_size"),
             "blr_max_rank": ("blr", "max_rank"),
+            "blr_BACA_blocksize": ("blr", "baca_blocksize"),
             "hss_leaf_size": ("hss", "leaf_size"),
             "hss_d0": ("hss", "d0"), "hss_dd": ("hss", "dd"),
             "hss_max_rank": ("hss", "max_rank"),
@@ -319,6 +325,14 @@ class SPOptions:
                 if v not in alias:
                     raise ValueError(f"--blr_factor_algorithm {val}")
                 self.blr.factor_algorithm = alias[v]
+            elif name == "blr_low_rank_algorithm":
+                if val is None:
+                    i += 1
+                    val = argv[i]
+                v = val.lower()
+                if v not in ("rrqr", "aca", "baca", "svd"):
+                    raise ValueError(f"--blr_low_rank_algorithm {val}")
+                self.blr.low_rank_algorithm = v
             elif name in enum_map:
                 attr, E = enum_map[name]
                 _mc64_codes = {"0": "none", "1": "mc", "2": "msd",
