@@ -108,5 +108,34 @@ def main():
     }))
 
 
+def main_with_retry():
+    """Run the measurement in a child process and retry on tunnel/device
+    hiccups (the remote-attached chip occasionally drops a dispatch; a
+    fresh process re-establishes the backend cleanly).  The child prints
+    the JSON line; the parent forwards the last one seen."""
+    import subprocess
+    if os.environ.get("STRUMPACK_BENCH_CHILD"):
+        return main()
+    env = dict(os.environ, STRUMPACK_BENCH_CHILD="1")
+    last_err = None
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3000)
+        except subprocess.TimeoutExpired as e:
+            last_err = f"timeout: {e}"
+            continue
+        sys.stderr.write(out.stderr[-4000:])
+        lines = [l for l in out.stdout.splitlines()
+                 if l.startswith("{") and '"metric"' in l]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        last_err = f"rc={out.returncode} stdout={out.stdout[-500:]}"
+        time.sleep(10)
+    raise SystemExit(f"bench failed after retries: {last_err}")
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retry()

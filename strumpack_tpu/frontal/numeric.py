@@ -262,6 +262,11 @@ def _factor_bucket(F, thresh, s_pad, pivoting=True):
     s = s_pad
     if (PL._supports_pallas(F.dtype) and nf > 0
             and not os.environ.get("STRUMPACK_TPU_NO_PALLAS")):
+        if 0 < s < p and s >= 8 and p <= PL.MAX_CROSS_P:
+            # cross-shape kernel: in-kernel work limited to the L/U
+            # panels, Schur update deferred to one batched MXU matmul
+            return PL.pallas_partial_factor(F, thresh=thresh, s_pad=s,
+                                            pivot=pivoting)
         if p <= PL.MAX_PALLAS_P:
             packed, perm = PL.pallas_factor_bucket(
                 F, thresh=thresh, s_pad=s, pivot=pivoting)
@@ -300,8 +305,37 @@ def _factor_bucket_spd(F, s_pad):
 
     Mirrors the reference's symmetric positive definite front path
     (FrontGPUSPD.cpp: batched Cholesky + trsm + syrk Schur update).
-    Returns (chol [nf,s,s] lower, L21 [nf,u,s], CB [nf,u,u])."""
+    Returns (chol [nf,s,s] lower, L21 [nf,u,s], CB [nf,u,u]).
+
+    On the TPU f32 path the Cholesky factor is derived from the no-pivot
+    Pallas LU kernels (lax.linalg.cholesky iterates an XLA while loop,
+    which is slow on this platform): for SPD F11 = L_unit D L_unit^T, so
+    chol = L_unit sqrt(D) and F21 chol^-T = L21_lu sqrt(D) — two column
+    rescales of the kernel outputs; the Schur complement is identical."""
+    from ..ops import pallas_lu as PL
+    from ..ops import pallas_panel_lu as PP
     sp = s_pad
+    nf, p, _ = F.shape
+    if (PL._supports_pallas(F.dtype) and nf > 0 and sp > 0
+            and not os.environ.get("STRUMPACK_TPU_NO_PALLAS")):
+        lu = None
+        if sp < p and sp >= 8 and p <= PL.MAX_CROSS_P:
+            lu, _, L21, _, CB = PL.pallas_partial_factor(
+                F, thresh=0.0, s_pad=sp, pivot=False)
+        elif p <= PL.MAX_PALLAS_P:
+            packed, _ = PL.pallas_factor_bucket(
+                F, thresh=0.0, s_pad=sp, pivot=False)
+            lu, L21, _, CB = PL.unpack_factors(packed, sp)
+        elif p <= PP.MAX_PANEL_P:
+            lu, _, L21, _, CB = PP.blocked_factor_bucket(
+                F, 0.0, sp, pivoting=False)
+        if lu is not None:
+            d = jnp.diagonal(lu, axis1=-2, axis2=-1)
+            sq = jnp.sqrt(jnp.maximum(d, jnp.finfo(F.dtype).tiny))
+            Lc = jnp.tril(lu, -1) * sq[:, None, :]
+            ii = jnp.arange(sp)
+            Lc = Lc.at[:, ii, ii].set(sq)
+            return Lc, L21 * sq[:, None, :], CB
     L = jax.lax.linalg.cholesky(F[:, :sp, :sp])
     L21 = jax.lax.linalg.triangular_solve(
         L, F[:, sp:, :sp], left_side=False, lower=True, transpose_a=True,

@@ -153,6 +153,143 @@ def pallas_factor_bucket(F, thresh=0.0, s_pad=None, bb=None, pivot=True,
             jnp.transpose(perm[:s_pad, :nf], (1, 0)))
 
 
+def _lu_cross_kernel(thresh_ref, A_ref, B_ref, Aout_ref, Bout_ref,
+                     perm_ref, *, s, u, p, pivot):
+    """Partial factorization updating only the cross region.
+
+    Eliminating s columns of a [p, p] front touches, at step k, only
+    column block A = [F11; F21] ([p, s]) and row block B = F12 ([s, u]):
+    the trailing F22 updates accumulate to exactly -L21 U12, so they are
+    deferred to ONE batched MXU matmul outside the kernel.  This cuts the
+    per-step VPU work from p^2 to p*s + s*u — the win grows with the
+    contribution-block share of the front (u/p), which dominates deep
+    levels of the elimination tree.  Layout and pivoting technique are
+    those of _lu_kernel (fronts on lanes, masked-reduction pivot search,
+    arithmetic row swaps, tiny-pivot replacement)."""
+    A = A_ref[...]                     # [p, s, BB]
+    B = B_ref[...]                     # [s, u, BB]
+    BB = A.shape[2]
+    thresh = thresh_ref[0]
+    rA = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
+    cA = jax.lax.broadcasted_iota(jnp.int32, (1, s, 1), 1)
+    rB = jax.lax.broadcasted_iota(jnp.int32, (s, 1, 1), 0)
+    P0 = jnp.broadcast_to(rB, (s, 1, BB)).astype(jnp.int32)
+
+    def step(k, carry):
+        A, B, P = carry
+        colk = jnp.sum(jnp.where(cA == k, A, 0.0), axis=1,
+                       keepdims=True)                     # [p, 1, BB]
+        if pivot:
+            colka = jnp.where((rA >= k) & (rA < s), jnp.abs(colk), -1.0)
+            amax = jnp.max(colka, axis=0, keepdims=True)  # [1, 1, BB]
+            rpiv = jnp.min(jnp.where(colka == amax, rA, p),
+                           axis=0, keepdims=True)         # [1, 1, BB]
+            is_kA, is_rA = rA == k, rA == rpiv
+            # exact masked row swap of A and of the extracted column
+            ak = jnp.sum(jnp.where(is_kA, A, 0.0), axis=0, keepdims=True)
+            ar = jnp.sum(jnp.where(is_rA, A, 0.0), axis=0, keepdims=True)
+            A = jnp.where(is_rA, jnp.broadcast_to(ak, (p, s, BB)), A)
+            A = jnp.where(is_kA, jnp.broadcast_to(ar, (p, s, BB)), A)
+            ck = jnp.sum(jnp.where(is_kA, colk, 0.0), axis=0,
+                         keepdims=True)
+            cr = jnp.sum(jnp.where(is_rA, colk, 0.0), axis=0,
+                         keepdims=True)
+            colk = jnp.where(is_rA, jnp.broadcast_to(ck, (p, 1, BB)), colk)
+            colk = jnp.where(is_kA, jnp.broadcast_to(cr, (p, 1, BB)), colk)
+            # rpiv < s always, so the swap also applies within B and P
+            is_kB, is_rB = rB == k, rB == rpiv
+            bk = jnp.sum(jnp.where(is_kB, B, 0.0), axis=0, keepdims=True)
+            br = jnp.sum(jnp.where(is_rB, B, 0.0), axis=0, keepdims=True)
+            B = jnp.where(is_rB, jnp.broadcast_to(bk, (s, u, BB)), B)
+            B = jnp.where(is_kB, jnp.broadcast_to(br, (s, u, BB)), B)
+            pk = jnp.sum(jnp.where(is_kB, P, 0), axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            pr = jnp.sum(jnp.where(is_rB, P, 0), axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            P = jnp.where(is_rB, jnp.broadcast_to(pk, (s, 1, BB)), P)
+            P = jnp.where(is_kB, jnp.broadcast_to(pr, (s, 1, BB)), P)
+        piv = jnp.sum(jnp.where(rA == k, colk, 0.0), axis=0,
+                      keepdims=True)                      # [1, 1, BB]
+        piv = jnp.where(jnp.abs(piv) < thresh,
+                        jnp.where(piv == 0, thresh,
+                                  jnp.sign(piv) * thresh), piv)
+        m = jnp.where(rA > k, colk / piv, 0.0)            # [p, 1, BB]
+        rowk = jnp.sum(jnp.where(rA == k, A, 0.0), axis=0,
+                       keepdims=True)                     # [1, s, BB]
+        updated = A - m * jnp.where(cA > k, rowk, 0.0)
+        colk_new = jnp.where(rA > k, m,
+                             jnp.where(rA == k,
+                                       jnp.broadcast_to(piv, (p, 1, BB)),
+                                       colk))
+        A = jnp.where(cA == k, colk_new, updated)
+        rowkB = jnp.sum(jnp.where(rB == k, B, 0.0), axis=0,
+                        keepdims=True)                    # [1, u, BB]
+        B = B - m[:s] * rowkB
+        return A, B, P
+
+    A, B, P = jax.lax.fori_loop(0, s, step, (A, B, P0))
+    Aout_ref[...] = A
+    Bout_ref[...] = B
+    perm_ref[...] = P[:, 0, :]
+
+
+MAX_CROSS_P = 128
+
+
+@partial(jax.jit, static_argnames=("s_pad", "bb", "pivot", "interpret"))
+def pallas_partial_factor(F, thresh=0.0, s_pad=None, bb=None, pivot=True,
+                          interpret=False):
+    """Partial factorization of identity-padded fronts via the cross-shape
+    kernel + one batched MXU Schur matmul.
+
+    F [nf, p, p] -> (lu [nf,s,s], perm [nf,s], L21 [nf,u,s],
+    U12 [nf,s,u], CB [nf,u,u]) — the _factor_bucket contract."""
+    nf, p, _ = F.shape
+    s = int(s_pad if s_pad is not None else p)
+    u = p - s
+    assert u > 0
+    if bb is None:
+        bb = _LANES if p * s > 2048 else 4 * _LANES
+    nfp = -(-nf // bb) * bb
+    Ft = jnp.transpose(F, (1, 2, 0))               # [p, p, nf]
+    if nfp != nf:
+        pad = jnp.broadcast_to(jnp.eye(p, dtype=F.dtype)[:, :, None],
+                               (p, p, nfp - nf))
+        Ft = jnp.concatenate([Ft, pad], axis=2)
+    Fa = Ft[:, :s, :]                              # [p, s, nfp]
+    Fb = Ft[:s, s:, :]                             # [s, u, nfp]
+    thresh = jnp.reshape(jnp.asarray(thresh, F.dtype), (1,))
+
+    grid = (nfp // bb,)
+    A, B, perm = pl.pallas_call(
+        partial(_lu_cross_kernel, s=s, u=u, p=p, pivot=pivot),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((p, s, bb), lambda i: (0, 0, i)),
+            pl.BlockSpec((s, u, bb), lambda i: (0, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((p, s, bb), lambda i: (0, 0, i)),
+            pl.BlockSpec((s, u, bb), lambda i: (0, 0, i)),
+            pl.BlockSpec((s, bb), lambda i: (0, i)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((p, s, nfp), F.dtype),
+                   jax.ShapeDtypeStruct((s, u, nfp), F.dtype),
+                   jax.ShapeDtypeStruct((s, nfp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(thresh, Fa, Fb)
+    lu = jnp.transpose(A[:s, :, :nf], (2, 0, 1))
+    L21 = jnp.transpose(A[s:, :, :nf], (2, 0, 1))
+    U12 = jnp.transpose(B[:, :, :nf], (2, 0, 1))
+    CB = (F[:, s:, s:]
+          - jnp.matmul(L21, U12, preferred_element_type=F.dtype))
+    return lu, jnp.transpose(perm[:, :nf], (1, 0)), L21, U12, CB
+
+
 def nopivot_factor_bucket_xla(F, thresh, s_pad):
     """Pure-XLA fallback of the no-pivot elimination (any backend, any
     dtype).  Same packed [nf, p, p] output as the Pallas kernel."""

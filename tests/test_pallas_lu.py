@@ -97,3 +97,68 @@ def test_solver_nopivot_end_to_end():
     s.set_csr_matrix(A)
     x, rc = s.solve(b)
     assert A.max_scaled_residual(x, b) < 1e-8
+
+
+@pytest.mark.parametrize("pivot", [True, False])
+@pytest.mark.parametrize("nf,p,s", [(5, 16, 8), (3, 48, 16), (2, 96, 32)])
+def test_pallas_cross_kernel_interpret(pivot, nf, p, s):
+    from strumpack_tpu.ops.pallas_lu import pallas_partial_factor
+    rng = np.random.default_rng(nf + p + s + pivot)
+    F = rng.standard_normal((nf, p, p)).astype(np.float32)
+    if not pivot:
+        F += np.eye(p, dtype=np.float32) * 8
+    lu, perm, L21, U12, CB = pallas_partial_factor(
+        jnp.asarray(F), thresh=0.0, s_pad=s, pivot=pivot, interpret=True)
+    packed = np.zeros((nf, p, p), np.float32)
+    packed[:, :s, :s] = np.asarray(lu)
+    packed[:, s:, :s] = np.asarray(L21)
+    packed[:, :s, s:] = np.asarray(U12)
+    packed[:, s:, s:] = np.asarray(CB)
+    assert _check_packed(F, packed, np.asarray(perm), s) < 5e-3
+
+
+def test_pallas_cross_matches_full_kernel():
+    """Cross kernel and full kernel agree bit-for-bit on the LU panel
+    (same pivot rule, same operation order for the panel columns)."""
+    from strumpack_tpu.ops.pallas_lu import pallas_partial_factor
+    rng = np.random.default_rng(7)
+    F = rng.standard_normal((4, 24, 24)).astype(np.float32)
+    s = 16
+    packed, perm0 = pallas_factor_bucket(
+        jnp.asarray(F), s_pad=s, pivot=True, interpret=True)
+    lu0, L210, U120, CB0 = unpack_factors(packed, s)
+    lu, perm, L21, U12, CB = pallas_partial_factor(
+        jnp.asarray(F), s_pad=s, pivot=True, interpret=True)
+    assert np.array_equal(np.asarray(perm0), np.asarray(perm))
+    np.testing.assert_array_equal(np.asarray(lu0), np.asarray(lu))
+    np.testing.assert_array_equal(np.asarray(L210), np.asarray(L21))
+    np.testing.assert_array_equal(np.asarray(U120), np.asarray(U12))
+    np.testing.assert_allclose(np.asarray(CB0), np.asarray(CB),
+                               rtol=0, atol=1e-4)
+
+
+def test_spd_chol_from_nopivot_lu():
+    """The SPD fast path derives chol = L_unit sqrt(D) from the no-pivot
+    kernel; verify the derivation against lax.linalg.cholesky."""
+    import jax
+    from strumpack_tpu.ops.pallas_lu import pallas_partial_factor
+    rng = np.random.default_rng(11)
+    nf, p, s = 3, 40, 24
+    M = rng.standard_normal((nf, p, p)).astype(np.float32)
+    F = np.einsum("bij,bkj->bik", M, M) + p * np.eye(p, dtype=np.float32)
+    lu, _, L21, _, CB = pallas_partial_factor(
+        jnp.asarray(F), thresh=0.0, s_pad=s, pivot=False, interpret=True)
+    d = np.diagonal(np.asarray(lu), axis1=-2, axis2=-1)
+    sq = np.sqrt(d)
+    Lc = np.tril(np.asarray(lu), -1) * sq[:, None, :]
+    ii = np.arange(s)
+    Lc[:, ii, ii] = sq
+    L_ref = np.asarray(jax.lax.linalg.cholesky(jnp.asarray(F[:, :s, :s],
+                                                           np.float64)))
+    np.testing.assert_allclose(Lc, L_ref, rtol=0, atol=2e-3)
+    L21c = np.asarray(L21) * sq[:, None, :]
+    # F21 chol^-T check: L21c @ Lc^T == F21
+    rec = np.einsum("bij,bkj->bik", L21c.astype(np.float64),
+                    Lc.astype(np.float64))
+    np.testing.assert_allclose(rec, F[:, s:, :s], rtol=0,
+                               atol=2e-3 * np.abs(F).max())
