@@ -46,34 +46,52 @@ def main():
     s.factor()  # compile + first factor
     t_first = s.times["factor"]
 
-    # steady-state factor: timed loop of back-to-back factorizations,
-    # blocking on all outputs (robust against async-dispatch illusions)
+    # steady-state factor: N data-dependent factorizations chained inside
+    # ONE program, timed around a single host readback — the chip's real
+    # per-factorization compute time (block_until_ready on this platform
+    # acknowledges dispatch, not completion; and a per-dispatch loop would
+    # measure the ~60-100 ms tunnel round-trip, see PERF.md).
     from strumpack_tpu.frontal import numeric
-    reps = int(os.environ.get("BENCH_REPS", "20"))
-    vals = s.Ap.data.astype(np.float32)
-    fac = None
     import jax as _jax
-    # probe once: under a degraded tunnel each dispatch costs ~10-500 ms,
-    # so scale the repetition count to keep total time bounded
-    t0 = time.perf_counter()
+    import jax.numpy as jnp
     from strumpack_tpu.utils.sync import device_sync
-    fac = numeric.factorize(s.pdev, vals,
-                            matmul_precision=opts.matmul_precision)
-    device_sync(fac.tree)
-    t_probe = time.perf_counter() - t0
-    if t_probe > 2.0:
-        reps = 2
-    elif t_probe > 0.2:
-        reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        fac = numeric.factorize(s.pdev, vals,
-                                matmul_precision=opts.matmul_precision)
-        # sync each iteration (host readback — block_until_ready does not
-        # fence remote execution): queuing all repetitions would also hold
-        # `reps` copies of the factors in HBM simultaneously
-        device_sync(fac.tree)
-    t_factor = (time.perf_counter() - t0) / reps
+    vals = s.Ap.data.astype(np.float32)
+    nbuckets = sum(len(l) for l in s.pdev.levels)
+    t_factor = None
+    if nbuckets <= numeric.SPLIT_SOLVE_BUCKETS:
+        def loop(arrays, v, n_it):
+            acc = jnp.zeros((), jnp.float32)
+            z = jnp.zeros((), jnp.float32)
+            for _ in range(n_it):
+                tree = numeric._factor_impl(s.pdev, arrays, v + acc * 0.0,
+                                            z, z)
+                for leaf in tree["lu"].values():
+                    acc = acc + jnp.sum(leaf[:, 0, 0].astype(jnp.float32))
+            return acc
+        try:
+            fn = _jax.jit(loop, static_argnames=("n_it",))
+            reps = int(os.environ.get("BENCH_REPS", "5"))
+            with _jax.default_matmul_precision(opts.matmul_precision):
+                device_sync(fn(s.pdev.arrays, vals, 1))
+                device_sync(fn(s.pdev.arrays, vals, reps))
+                t0 = time.perf_counter()
+                device_sync(fn(s.pdev.arrays, vals, reps))
+                tn = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                device_sync(fn(s.pdev.arrays, vals, 1))
+                t1 = time.perf_counter() - t0
+            t_factor = (tn - t1) / max(reps - 1, 1)
+        except Exception as e:
+            print(f"# chained timing unavailable ({type(e).__name__}); "
+                  "falling back to per-dispatch walls", file=sys.stderr)
+    if t_factor is None or t_factor <= 0:
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fac = numeric.factorize(s.pdev, vals,
+                                    matmul_precision=opts.matmul_precision)
+            device_sync(fac.tree)
+        t_factor = (time.perf_counter() - t0) / reps
     flops = s.factor_flops()
     gflops = flops / t_factor / 1e9
 

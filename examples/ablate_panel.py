@@ -74,7 +74,7 @@ def main():
             while jb < s:
                 w = min(128, s - jb)
                 pan = jax.lax.dynamic_slice_in_dim(F, jb, w, axis=2)
-                pan, pj = pallas_panel_lu(pan, 0.0, row0=jb, w=w, slim=s)
+                pan, pr = pallas_panel_lu(pan, 0.0, row0=jb, w=w, slim=s)
                 acc = acc + jnp.sum(pan[:, 0, 0])
                 jb += w
             return acc

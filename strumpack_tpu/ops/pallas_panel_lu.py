@@ -44,74 +44,65 @@ PANEL_W = 128
 MAX_PANEL_P = 8192      # [p, w] f32 panel in VMEM: 4 MB at p=8192
 
 
-def _panel_kernel(thresh_ref, A_ref, out_ref, perm_ref, *,
+def _panel_kernel(thresh_ref, A_ref, out_ref, pr_ref, *,
                   row0, w, slim, p, pivot):
     """Eliminate the w columns of one full-height panel, diagonal at
-    ``row0``; pivot rows restricted to [row0+k, slim).
+    ``row0``, with LOGICAL partial pivoting: pivot rows (restricted to
+    [row0, slim), not yet pivoted) are *marked*, never physically moved —
+    the caller applies the accumulated permutation with the single
+    row-gather it already needs to swap the trailing columns.  This cuts
+    the full-width VPU passes per column from ~7 (column extract, two
+    swap-row extracts, fused swap+update+write) to ~3 (column extract,
+    pivot-row extract, fused update+write); dynamic row/column slices are
+    not lowerable on the lane dimension, hence the masked reductions.
 
-    Per column: one [p, w] masked reduction extracts the column, two
-    extract the pivot-candidate rows, and ONE fused elementwise expression
-    applies the row swap + rank-1 update + multiplier/pivot column write
-    (the value-carried row swap and the update compose arithmetically, so
-    Mosaic fuses them into a single read-modify-write pass — dynamic
-    row/column slices are not lowerable on the lane dimension)."""
+    Emits the packed panel in ORIGINAL row order plus pr [w] = the chosen
+    pivot row per column."""
     G = A_ref[0]                            # [p, w]
     thresh = thresh_ref[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-    P0 = jnp.broadcast_to(rows, (p, 1)).astype(jnp.int32)
+    upd0 = rows >= row0                     # updatable until pivoted
+    alive0 = upd0 & (rows < slim)
+    pr0 = jnp.zeros((1, w), jnp.int32)
+    # the pivoted mask is carried as f32 (carrying i1 vectors through a
+    # fori_loop trips a Mosaic internal error)
+    pivf0 = jnp.zeros((p, 1), G.dtype)
 
     def step(k, carry):
-        G, P = carry
-        r = row0 + k
+        G, pivf, pr = carry
+        free = pivf == 0.0
         col = jnp.sum(jnp.where(cols == k, G, 0.0), axis=1,
                       keepdims=True)        # [p, 1]
         if pivot:
-            cola = jnp.where((rows >= r) & (rows < slim),
-                             jnp.abs(col), -1.0)
+            cola = jnp.where(alive0 & free, jnp.abs(col), -1.0)
             amax = jnp.max(cola, axis=0, keepdims=True)     # [1, 1]
             rpiv = jnp.min(jnp.where(cola == amax, rows, p),
                            axis=0, keepdims=True)           # [1, 1]
-            is_k, is_r = rows == r, rows == rpiv
-            # swapped column by scalar fix-up (cheap [p,1] reductions)
-            ck = jnp.sum(jnp.where(is_k, col, 0.0), axis=0, keepdims=True)
-            cr = jnp.sum(jnp.where(is_r, col, 0.0), axis=0, keepdims=True)
-            col = col + is_k * (cr - ck) + is_r * (ck - cr)
-            # pivot-row content after the swap = old row rpiv
-            gk = jnp.sum(jnp.where(is_k, G, 0.0), axis=0, keepdims=True)
-            gr = jnp.sum(jnp.where(is_r, G, 0.0), axis=0, keepdims=True)
-            pk = jnp.sum(jnp.where(is_k, P, 0), axis=0, keepdims=True,
-                         dtype=jnp.int32)
-            pr = jnp.sum(jnp.where(is_r, P, 0), axis=0, keepdims=True,
-                         dtype=jnp.int32)
-            P = jnp.where(is_r, jnp.broadcast_to(pk, (p, 1)), P)
-            P = jnp.where(is_k, jnp.broadcast_to(pr, (p, 1)), P)
         else:
-            is_k = rows == r
-            is_r = is_k
-            gk = jnp.sum(jnp.where(is_k, G, 0.0), axis=0, keepdims=True)
-            gr = gk
-        piv = jnp.sum(jnp.where(rows == r, col, 0.0), axis=0,
+            rpiv = jnp.full((1, 1), row0 + k, jnp.int32)
+        ispiv = rows == rpiv                                # [p, 1]
+        piv = jnp.sum(jnp.where(ispiv, col, 0.0), axis=0,
                       keepdims=True)        # [1, 1]
         piv = jnp.where(jnp.abs(piv) < thresh,
                         jnp.where(piv == 0, thresh,
                                   jnp.sign(piv) * thresh), piv)
-        m = jnp.where(rows > r, col / piv, 0.0)             # [p, 1]
-        # ONE fused pass: row swap (arithmetic), rank-1 update right of
-        # column k, multipliers + replaced pivot into column k
-        swapped = G + is_r * (gk - gr) + is_k * (gr - gk)
-        updated = swapped - m * jnp.where(cols > k, gr, 0.0)
-        colk_new = jnp.where(rows > r, m,
-                             jnp.where(rows == r,
-                                       jnp.broadcast_to(piv, (p, 1)), col))
-        G = jnp.where(cols == k, colk_new, updated)
-        return G, P
+        upd = upd0 & free
+        m = jnp.where(upd & ~ispiv, col / piv, 0.0)         # [p, 1]
+        urow = jnp.sum(jnp.where(ispiv, G, 0.0), axis=0,
+                       keepdims=True)       # [1, w]
+        colk_new = jnp.where(ispiv, jnp.broadcast_to(piv, (p, 1)),
+                             jnp.where(upd, m, col))
+        G = jnp.where(cols == k, colk_new,
+                      G - m * jnp.where(cols > k, urow, 0.0))
+        pr = jnp.where(cols == k, jnp.broadcast_to(rpiv, (1, w)), pr)
+        return G, pivf + ispiv.astype(G.dtype), pr
 
-    G, P = jax.lax.fori_loop(0, w, step, (G, P0))
+    G, _, pr = jax.lax.fori_loop(0, w, step, (G, pivf0, pr0))
     out_ref[0] = G
-    # perm as [8, p] (8 identical sublane rows): Mosaic requires the
+    # pr as [8, w] (8 identical sublane rows): Mosaic requires the
     # second-to-last block dim divisible by 8
-    perm_ref[0] = jnp.broadcast_to(P[:, 0][None, :], (8, p))
+    pr_ref[0] = jnp.broadcast_to(pr, (8, w))
 
 
 @partial(jax.jit, static_argnames=("row0", "w", "slim", "pivot",
@@ -119,10 +110,12 @@ def _panel_kernel(thresh_ref, A_ref, out_ref, perm_ref, *,
 def pallas_panel_lu(panel, thresh, row0, w, slim, pivot=True,
                     interpret=False):
     """Factor one full-height [nf, p, w] panel per front; diagonal block
-    at rows row0..row0+w.  Returns (packed panel, perm [nf, p])."""
+    at rows row0..row0+w.  Returns (packed panel in ORIGINAL row order,
+    pr [nf, w] = pivot source row per column); compose with
+    panel_perm() to get the applied-form row permutation."""
     nf, p, _ = panel.shape
     thresh = jnp.reshape(jnp.asarray(thresh, panel.dtype), (1,))
-    out, perm = pl.pallas_call(
+    out, pr = pl.pallas_call(
         partial(_panel_kernel, row0=row0, w=w, slim=slim, p=p, pivot=pivot),
         grid=(nf,),
         in_specs=[
@@ -131,16 +124,39 @@ def pallas_panel_lu(panel, thresh, row0, w, slim, pivot=True,
         ],
         out_specs=[
             pl.BlockSpec((1, p, w), lambda f: (f, 0, 0)),
-            pl.BlockSpec((1, 8, p), lambda f: (f, 0, 0)),
+            pl.BlockSpec((1, 8, w), lambda f: (f, 0, 0)),
         ],
         out_shape=[jax.ShapeDtypeStruct((nf, p, w), panel.dtype),
-                   jax.ShapeDtypeStruct((nf, 8, p), jnp.int32)],
+                   jax.ShapeDtypeStruct((nf, 8, w), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(thresh, panel)
-    return out, perm[:, 0, :]
+    return out, pr[:, 0, :]
+
+
+def panel_perm(pr, p, row0, w):
+    """Applied-form row permutation [nf, p] from per-column pivot rows.
+
+    dest row row0+k takes source pr[:, k]; the remaining not-pivoted rows
+    >= row0 follow in ascending source order (LAPACK getrf semantics with
+    the swaps composed); rows < row0 are fixed."""
+    nf = pr.shape[0]
+    i = jnp.arange(p, dtype=jnp.int32)[None, :]
+    bidx = jnp.arange(nf, dtype=jnp.int32)[:, None]
+    pivmask = jnp.zeros((nf, p), bool).at[
+        jnp.broadcast_to(bidx, pr.shape), pr].set(True)
+    nonpiv = (~pivmask) & (i >= row0)
+    rank = jnp.cumsum(nonpiv.astype(jnp.int32), axis=1) - 1
+    dest = jnp.where(i < row0, i, row0 + w + rank)
+    dest = dest.at[jnp.broadcast_to(bidx, pr.shape), pr].set(
+        row0 + jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                                pr.shape))
+    pj = jnp.zeros((nf, p), jnp.int32).at[
+        jnp.broadcast_to(bidx, (nf, p)), dest].set(
+        jnp.broadcast_to(i, (nf, p)))
+    return pj
 
 
 def blocked_factor_bucket(F, thresh, s_pad, pivoting=True, panel_w=PANEL_W,
@@ -158,19 +174,22 @@ def blocked_factor_bucket(F, thresh, s_pad, pivoting=True, panel_w=PANEL_W,
     while jb < s:
         w = min(panel_w, s - jb)
         pan = jax.lax.dynamic_slice_in_dim(G, jb, w, axis=2)
-        pan, pj = pallas_panel_lu(pan, thresh, row0=jb, w=w, slim=s,
+        pan, pr = pallas_panel_lu(pan, thresh, row0=jb, w=w, slim=s,
                                   pivot=pivoting, interpret=interpret)
+        # paste the factored panel (original row order), then apply the
+        # panel's accumulated permutation to the WHOLE matrix with one
+        # row gather (the kernel pivots logically — no in-kernel swaps)
+        G = jax.lax.dynamic_update_slice_in_dim(G, pan, jb, axis=2)
         if pivoting:
-            # apply the swaps to all other columns, then paste the
-            # factored panel (already swapped in-kernel)
+            pj = panel_perm(pr, p, jb, w)
             G = jnp.take_along_axis(G, pj[:, :, None], axis=1)
             ptot = jnp.take_along_axis(ptot, pj, axis=1)
-        G = jax.lax.dynamic_update_slice_in_dim(G, pan, jb, axis=2)
         if jb + w < p:
-            L11 = pan[:, jb:jb + w, :]
+            # slice the (now permuted) factored panel back out of G
+            L11 = G[:, jb:jb + w, jb:jb + w]
             A12 = G[:, jb:jb + w, jb + w:]
             U12 = trsm_unit_lower(L11, A12)
-            L21 = pan[:, jb + w:, :]
+            L21 = G[:, jb + w:, jb:jb + w]
             G = jax.lax.dynamic_update_slice(G, U12, (0, jb, jb + w))
             G = jax.lax.dynamic_update_slice(
                 G, G[:, jb + w:, jb + w:]
