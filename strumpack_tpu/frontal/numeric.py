@@ -262,7 +262,7 @@ def _factor_bucket(F, thresh, s_pad, pivoting=True):
     s = s_pad
     if (PL._supports_pallas(F.dtype) and nf > 0
             and not os.environ.get("STRUMPACK_TPU_NO_PALLAS")):
-        if 0 < s < p and s >= 8 and p <= PL.MAX_CROSS_P:
+        if PL.use_cross(s, p, nf):
             # cross-shape kernel: in-kernel work limited to the L/U
             # panels, Schur update deferred to one batched MXU matmul
             return PL.pallas_partial_factor(F, thresh=thresh, s_pad=s,
@@ -319,7 +319,7 @@ def _factor_bucket_spd(F, s_pad):
     if (PL._supports_pallas(F.dtype) and nf > 0 and sp > 0
             and not os.environ.get("STRUMPACK_TPU_NO_PALLAS")):
         lu = None
-        if sp < p and sp >= 8 and p <= PL.MAX_CROSS_P:
+        if sp < p and PL.use_cross(sp, p, nf):
             lu, _, L21, _, CB = PL.pallas_partial_factor(
                 F, thresh=0.0, s_pad=sp, pivot=False)
         elif p <= PL.MAX_PALLAS_P:

@@ -50,60 +50,52 @@ def _supports_pallas(dtype) -> bool:
 
 
 def _lu_kernel(thresh_ref, F_ref, out_ref, perm_ref, *, s_pad, p, pivot):
+    """Full-front elimination with LOGICAL partial pivoting: the pivot row
+    per column is marked (pivoted mask carried as f32 — i1 carries trip a
+    Mosaic internal error), never physically moved; the caller
+    triangularizes with one row gather.  ~3 full-width VPU passes per
+    column (column extract, pivot-row extract, fused update+write) vs ~7
+    with in-kernel swaps."""
     F = F_ref[...]                     # [p, p, BB] — rows, cols, fronts
     BB = F.shape[2]
     thresh = thresh_ref[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (p, p, 1), 1)
-    rows1 = rows[:, :1]                # [p, 1, 1]
-    P0 = jnp.broadcast_to(rows1, (p, 1, BB)).astype(jnp.int32)
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (p, 1, 1), 0)
+    cols1 = jax.lax.broadcasted_iota(jnp.int32, (1, p, 1), 1)
+    alive0 = rows1 < s_pad
+    pivf0 = jnp.zeros((p, 1, BB), F.dtype)
+    pr0 = jnp.zeros((1, p, BB), jnp.int32)
 
     def step(k, carry):
-        F, P = carry
+        F, pivf, pr = carry
+        free = pivf == 0.0
+        colk = jnp.sum(jnp.where(cols1 == k, F, 0.0), axis=1,
+                       keepdims=True)                      # [p, 1, BB]
         if pivot:
-            # pivot row = argmax |F[k:s_pad, k]| per front, via a masked
-            # max + masked min-index reduction (no dynamic vector indexing)
-            colk_a = jnp.abs(jnp.sum(jnp.where(cols == k, F, 0.0), axis=1,
-                                     keepdims=True))       # [p, 1, BB]
-            inrange = (rows1 >= k) & (rows1 < s_pad)
-            colk_a = jnp.where(inrange, colk_a, -1.0)
-            amax = jnp.max(colk_a, axis=0, keepdims=True)  # [1, 1, BB]
-            cand = jnp.where(colk_a == amax, rows1, p)
-            rpiv = jnp.min(cand, axis=0, keepdims=True)    # [1, 1, BB] int
-            # swap rows k <-> rpiv of F (full width) and of P
-            is_k, is_r = rows1 == k, rows1 == rpiv
-            rk = jnp.sum(jnp.where(is_k, F, 0.0), axis=0, keepdims=True)
-            rr = jnp.sum(jnp.where(is_r, F, 0.0), axis=0, keepdims=True)
-            F = jnp.where(is_r, jnp.broadcast_to(rk, (p, p, BB)), F)
-            F = jnp.where(is_k, jnp.broadcast_to(rr, (p, p, BB)), F)
-            pk = jnp.sum(jnp.where(is_k, P, 0), axis=0, keepdims=True,
-                         dtype=jnp.int32)
-            pr = jnp.sum(jnp.where(is_r, P, 0), axis=0, keepdims=True,
-                         dtype=jnp.int32)
-            P = jnp.where(is_r, jnp.broadcast_to(pk, (p, 1, BB)), P)
-            P = jnp.where(is_k, jnp.broadcast_to(pr, (p, 1, BB)), P)
-        piv = jnp.sum(jnp.where((rows == k) & (cols == k), F, 0.0),
-                      axis=(0, 1), keepdims=True)          # [1, 1, BB]
+            cand = jnp.where(alive0 & free, jnp.abs(colk), -1.0)
+            amax = jnp.max(cand, axis=0, keepdims=True)    # [1, 1, BB]
+            rpiv = jnp.min(jnp.where(cand == amax, rows1, p),
+                           axis=0, keepdims=True)          # [1, 1, BB]
+        else:
+            rpiv = jnp.full((1, 1, BB), k, jnp.int32)
+        ispiv = rows1 == rpiv                              # [p, 1, BB]
+        piv = jnp.sum(jnp.where(ispiv, colk, 0.0), axis=0,
+                      keepdims=True)                       # [1, 1, BB]
         piv = jnp.where(jnp.abs(piv) < thresh,
                         jnp.where(piv == 0, thresh,
                                   jnp.sign(piv) * thresh), piv)
-        colk = jnp.sum(jnp.where(cols == k, F, 0.0), axis=1,
-                       keepdims=True)                      # [p, 1, BB]
-        colk = jnp.where(rows1 > k, colk / piv, 0.0)
-        rowk = jnp.sum(jnp.where(rows == k, F, 0.0), axis=0,
+        m = jnp.where(free & ~ispiv, colk / piv, 0.0)      # [p, 1, BB]
+        urow = jnp.sum(jnp.where(ispiv, F, 0.0), axis=0,
                        keepdims=True)                      # [1, p, BB]
-        rmask = jnp.where(cols[:1] > k, rowk, 0.0)
-        F = F - colk * rmask                               # full-lane rank-1
-        # write multipliers into column k, restore pivot on the diagonal
-        F = jnp.where((cols == k) & (rows > k),
-                      jnp.broadcast_to(colk, (p, p, BB)), F)
-        F = jnp.where((cols == k) & (rows == k),
-                      jnp.broadcast_to(piv, (p, p, BB)), F)
-        return F, P
+        colnew = jnp.where(ispiv, jnp.broadcast_to(piv, (p, 1, BB)),
+                           jnp.where(free, m, colk))
+        F = jnp.where(cols1 == k, colnew,
+                      F - m * jnp.where(cols1 > k, urow, 0.0))
+        pr = jnp.where(cols1 == k, jnp.broadcast_to(rpiv, (1, p, BB)), pr)
+        return F, pivf + ispiv.astype(F.dtype), pr
 
-    F, P = jax.lax.fori_loop(0, s_pad, step, (F, P0))
+    F, _, pr = jax.lax.fori_loop(0, s_pad, step, (F, pivf0, pr0))
     out_ref[...] = F
-    perm_ref[...] = P[:, 0, :]
+    perm_ref[...] = pr[0]
 
 
 @partial(jax.jit, static_argnames=("s_pad", "bb", "pivot", "interpret"))
@@ -149,8 +141,21 @@ def pallas_factor_bucket(F, thresh=0.0, s_pad=None, bb=None, pivot=True,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(thresh, Ft)
-    return (jnp.transpose(out[:, :, :nf], (2, 0, 1)),
-            jnp.transpose(perm[:s_pad, :nf], (1, 0)))
+    packed = jnp.transpose(out[:, :, :nf], (2, 0, 1))
+    pr = jnp.transpose(perm[:s_pad, :nf], (1, 0))          # [nf, s_pad]
+    if pivot:
+        # triangularize (the kernel pivots logically): dest rows
+        # 0..s_pad-1 take the pivot rows in order; rows >= s_pad (the CB
+        # block) never move
+        if s_pad < p:
+            tail = jnp.broadcast_to(
+                jnp.arange(s_pad, p, dtype=pr.dtype)[None, :],
+                (nf, p - s_pad))
+            pj = jnp.concatenate([pr, tail], axis=1)
+        else:
+            pj = pr
+        packed = jnp.take_along_axis(packed, pj[:, :, None], axis=1)
+    return packed, pr
 
 
 def _lu_cross_kernel(thresh_ref, A_ref, B_ref, Aout_ref, Bout_ref,
@@ -234,6 +239,40 @@ def _lu_cross_kernel(thresh_ref, A_ref, B_ref, Aout_ref, Bout_ref,
 
 
 MAX_CROSS_P = 128
+# wider fronts still use the cross kernel when the bucket is deep enough
+# to fill lanes (the per-front panel path underuses them there)
+MAX_CROSS_WIDE_P = 640
+MIN_CROSS_WIDE_NF = 32
+_CROSS_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def _cross_bb(p, s, u, nf):
+    """Fronts-per-block choice for the cross kernel: full lanes when the
+    VMEM footprint (carry + ~3 live temporaries of the [p,s]+[s,u]
+    blocks) allows, halved otherwise; None when nothing >= 32 fits."""
+    bb = _LANES if p * s > 2048 else 4 * _LANES
+    nfp2 = 32
+    while nfp2 < nf:
+        nfp2 *= 2
+    bb = min(bb, nfp2)          # don't pad a small batch to full lanes
+    # measured on hardware: Mosaic's scoped stack holds ~15-16 live f32
+    # copies of the [p,s]+[s,u] blocks (loop carries, double-buffered
+    # block in/out, per-step temporaries) -> 64 bytes per element
+    while bb > 32 and (p * s + s * u) * bb * 64 > _CROSS_VMEM_BUDGET:
+        bb //= 2
+    if (p * s + s * u) * bb * 64 > _CROSS_VMEM_BUDGET:
+        return None
+    return bb
+
+
+def use_cross(s, p, nf):
+    """Routing predicate for the cross-shape partial-factor kernel."""
+    if not (0 < s < p and s >= 8):
+        return False
+    if p <= MAX_CROSS_P:
+        return True
+    return (p <= MAX_CROSS_WIDE_P and nf >= MIN_CROSS_WIDE_NF
+            and _cross_bb(p, s, p - s, nf) is not None)
 
 
 @partial(jax.jit, static_argnames=("s_pad", "bb", "pivot", "interpret"))
@@ -249,7 +288,7 @@ def pallas_partial_factor(F, thresh=0.0, s_pad=None, bb=None, pivot=True,
     u = p - s
     assert u > 0
     if bb is None:
-        bb = _LANES if p * s > 2048 else 4 * _LANES
+        bb = _cross_bb(p, s, u, nf) or 32
     nfp = -(-nf // bb) * bb
     Ft = jnp.transpose(F, (1, 2, 0))               # [p, p, nf]
     if nfp != nf:
@@ -260,28 +299,40 @@ def pallas_partial_factor(F, thresh=0.0, s_pad=None, bb=None, pivot=True,
     Fb = Ft[:s, s:, :]                             # [s, u, nfp]
     thresh = jnp.reshape(jnp.asarray(thresh, F.dtype), (1,))
 
-    grid = (nfp // bb,)
-    A, B, perm = pl.pallas_call(
-        partial(_lu_cross_kernel, s=s, u=u, p=p, pivot=pivot),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((p, s, bb), lambda i: (0, 0, i)),
-            pl.BlockSpec((s, u, bb), lambda i: (0, 0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((p, s, bb), lambda i: (0, 0, i)),
-            pl.BlockSpec((s, u, bb), lambda i: (0, 0, i)),
-            pl.BlockSpec((s, bb), lambda i: (0, i)),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((p, s, nfp), F.dtype),
-                   jax.ShapeDtypeStruct((s, u, nfp), F.dtype),
-                   jax.ShapeDtypeStruct((s, nfp), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(thresh, Fa, Fb)
+    def call(Fa_, Fb_, nb):
+        # Mosaic requires the lane-dim block be a multiple of 128 or the
+        # whole array: sub-128 batch blocks run as one-block calls over
+        # lane chunks instead of grid steps
+        return pl.pallas_call(
+            partial(_lu_cross_kernel, s=s, u=u, p=p, pivot=pivot),
+            grid=(nb // bb,) if bb >= _LANES else (1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((p, s, bb), lambda i: (0, 0, i)),
+                pl.BlockSpec((s, u, bb), lambda i: (0, 0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((p, s, bb), lambda i: (0, 0, i)),
+                pl.BlockSpec((s, u, bb), lambda i: (0, 0, i)),
+                pl.BlockSpec((s, bb), lambda i: (0, i)),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((p, s, nb), F.dtype),
+                       jax.ShapeDtypeStruct((s, u, nb), F.dtype),
+                       jax.ShapeDtypeStruct((s, nb), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(thresh, Fa_, Fb_)
+
+    if bb >= _LANES or nfp == bb:
+        A, B, perm = call(Fa, Fb, nfp)
+    else:
+        parts = [call(Fa[:, :, c:c + bb], Fb[:, :, c:c + bb], bb)
+                 for c in range(0, nfp, bb)]
+        A = jnp.concatenate([x[0] for x in parts], axis=2)
+        B = jnp.concatenate([x[1] for x in parts], axis=2)
+        perm = jnp.concatenate([x[2] for x in parts], axis=1)
     lu = jnp.transpose(A[:s, :, :nf], (2, 0, 1))
     L21 = jnp.transpose(A[s:, :, :nf], (2, 0, 1))
     U12 = jnp.transpose(B[:, :, :nf], (2, 0, 1))

@@ -162,3 +162,26 @@ def test_spd_chol_from_nopivot_lu():
                     Lc.astype(np.float64))
     np.testing.assert_allclose(rec, F[:, s:, :s], rtol=0,
                                atol=2e-3 * np.abs(F).max())
+
+
+def test_pallas_cross_wide_bucket():
+    """Wide-front cross path (p > 128, deep bucket) with the VMEM-scaled
+    block size."""
+    from strumpack_tpu.ops.pallas_lu import (pallas_partial_factor,
+                                             use_cross, _cross_bb)
+    assert use_cross(16, 144, 256)
+    assert not use_cross(512, 1536, 2)       # small batch -> panel path
+    assert _cross_bb(576, 64, 512, 32) is None   # over the VMEM budget
+    assert _cross_bb(320, 64, 256, 64) == 32
+    assert use_cross(64, 320, 64)
+    rng = np.random.default_rng(21)
+    nf, p, s = 40, 144, 16
+    F = rng.standard_normal((nf, p, p)).astype(np.float32)
+    lu, perm, L21, U12, CB = pallas_partial_factor(
+        jnp.asarray(F), thresh=0.0, s_pad=s, pivot=True, interpret=True)
+    packed = np.zeros((nf, p, p), np.float32)
+    packed[:, :s, :s] = np.asarray(lu)
+    packed[:, s:, :s] = np.asarray(L21)
+    packed[:, :s, s:] = np.asarray(U12)
+    packed[:, s:, s:] = np.asarray(CB)
+    assert _check_packed(F, packed, np.asarray(perm), s) < 5e-3
