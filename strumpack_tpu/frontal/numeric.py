@@ -221,20 +221,39 @@ def _extend_add_blocks(F, cb_list, pos, pairs, a):
     For each contributing child bucket: fetch each front's child CB with a
     leading-axis take (contiguous [u, u] blocks — fast on TPU, unlike the
     element gather that used to dominate the whole factorization), then
-    scatter into the padded front with one-hot selection matmuls
-    F += T C T^t on the MXU (exact: every product is 1.0 * v or 0)."""
+    place it into the padded front.  ``pos[f, i]`` is already the inverse
+    map (parent slot i -> child-upd index, or -1), so the placement
+    F[f, i, j] += C[f, pos[i], pos[j]] is two ROW gathers (rows are
+    lane-contiguous, the fast TPU gather axis) plus transposes — zero
+    FLOPs, O(p*(u+p)) bandwidth.  This replaced the earlier one-hot
+    F += T C T^t MXU formulation, which cost 2*p*u*(u+p) real MXU flops
+    per front (~8 GFlop/front at the tree root) and dominated the
+    extend-add phase; set STRUMPACK_TPU_EA=onehot to get it back for
+    ablation."""
     nf, p, _ = F.shape
+    onehot = os.environ.get("STRUMPACK_TPU_EA") == "onehot"
     for (bk, u, key) in pairs:
         Cb = cb_list[bk]                       # [nfc, u, u]
         idx = a[key]                           # [nf], -1 = not this bucket
         sel = jnp.clip(idx, 0, max(Cb.shape[0] - 1, 0))
         C = Cb[sel]
-        valid = (idx >= 0).astype(F.dtype)[:, None, None]
-        ii = jnp.arange(u, dtype=pos.dtype)
-        T = (pos[:, :, None] == ii[None, None, :]).astype(F.dtype) * valid
-        CT = jnp.matmul(C, T.transpose(0, 2, 1),
-                        preferred_element_type=F.dtype)
-        F = F + jnp.matmul(T, CT, preferred_element_type=F.dtype)
+        if onehot:
+            valid = (idx >= 0).astype(F.dtype)[:, None, None]
+            ii = jnp.arange(u, dtype=pos.dtype)
+            T = (pos[:, :, None] == ii[None, None, :]).astype(F.dtype) * valid
+            CT = jnp.matmul(C, T.transpose(0, 2, 1),
+                            preferred_element_type=F.dtype)
+            F = F + jnp.matmul(T, CT, preferred_element_type=F.dtype)
+            continue
+        # posc: parent slot -> child row, padded rows (-1 / wrong bucket)
+        # redirected to the appended zero row u.
+        ok = (idx >= 0)[:, None] & (pos >= 0)
+        posc = jnp.where(ok, pos, u).astype(jnp.int32)       # [nf, p]
+        Cpad = jnp.pad(C, ((0, 0), (0, 1), (0, 0)))          # [nf, u+1, u]
+        G = jnp.take_along_axis(Cpad, posc[:, :, None], axis=1)  # [nf,p,u]
+        GT = jnp.pad(G.transpose(0, 2, 1), ((0, 0), (0, 1), (0, 0)))
+        H = jnp.take_along_axis(GT, posc[:, :, None], axis=1)    # [nf,p,p]
+        F = F + H.transpose(0, 2, 1)
     return F
 
 
@@ -551,17 +570,18 @@ def _hss_solve_fwd(bp, entry, bloc, dtype):
 
 def _ext_add_vec(v, cbv_list, pos, pairs, a):
     """Solve-phase extend-add from per-bucket child CB vectors
-    [nfc, u, nrhs]: leading-axis block take + one one-hot matmul per
-    contributing child bucket (same pattern as _extend_add_blocks)."""
+    [nfc, u, nrhs]: leading-axis block take + one row gather per
+    contributing child bucket (same inverse-map placement as
+    _extend_add_blocks; rows of C are lane-contiguous [nrhs] vectors)."""
     for (bk, u, key) in pairs:
         Cv = cbv_list[bk]                      # [nfc, u, nrhs]
         idx = a[key]
         sel = jnp.clip(idx, 0, max(Cv.shape[0] - 1, 0))
         C = Cv[sel]
-        valid = (idx >= 0).astype(v.dtype)[:, None, None]
-        ii = jnp.arange(u, dtype=pos.dtype)
-        T = (pos[:, :, None] == ii[None, None, :]).astype(v.dtype) * valid
-        v = v + jnp.matmul(T, C, preferred_element_type=v.dtype)
+        ok = (idx >= 0)[:, None] & (pos >= 0)
+        posc = jnp.where(ok, pos, u).astype(jnp.int32)
+        Cpad = jnp.pad(C, ((0, 0), (0, 1), (0, 0)))
+        v = v + jnp.take_along_axis(Cpad, posc[:, :, None], axis=1)
     return v
 
 
