@@ -29,6 +29,7 @@ import numpy as np
 
 from .plan import BucketPlan, LevelPlan
 from ..ops import trisolve as TS
+from ..ops import pallas_extadd as EA
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +179,15 @@ class PlanDev:
                         key = f"idx{side}{j}"
                         bd.host_arrays[key] = idx
                         getattr(bd, "pairs" + side).append((j, u, key))
+                        # window metadata for the Pallas extend-add kernel
+                        # (ops/pallas_extadd.py); None when the bucket's
+                        # shape or the consecutive-window invariant rules
+                        # it out — the XLA gather path then runs instead.
+                        if u >= EA.CH and bp.p % EA.CH == 0:
+                            pre = EA.precompute_windows(pos, idx, u)
+                            if pre is not None:
+                                bd.host_arrays["eap" + key] = pre[0]
+                                bd.host_arrays["eac" + key] = pre[1]
 
 
 # ---------------------------------------------------------------------------
@@ -231,10 +241,23 @@ def _extend_add_blocks(F, cb_list, pos, pairs, a):
     extend-add phase; set STRUMPACK_TPU_EA=onehot to get it back for
     ablation."""
     nf, p, _ = F.shape
-    onehot = os.environ.get("STRUMPACK_TPU_EA") == "onehot"
+    mode = os.environ.get("STRUMPACK_TPU_EA", "")
+    onehot = mode == "onehot"
     for (bk, u, key) in pairs:
         Cb = cb_list[bk]                       # [nfc, u, u]
         idx = a[key]                           # [nf], -1 = not this bucket
+        # fused Pallas window-matmul kernel (ops/pallas_extadd.py): all
+        # intermediates stay in VMEM, ~10x the gather formulation on the
+        # big buckets.  Falls back to the gather path off-TPU, for non-f32,
+        # for buckets without window metadata, or with STRUMPACK_TPU_EA
+        # set to gather/onehot.
+        if (("eap" + key) in a and mode in ("", "pallas")
+                and F.dtype == jnp.float32
+                and (jax.default_backend() == "tpu" or mode == "pallas")):
+            F = EA.extend_add_pallas(
+                F, Cb, idx, a["eap" + key], a["eac" + key],
+                interpret=jax.default_backend() != "tpu")
+            continue
         sel = jnp.clip(idx, 0, max(Cb.shape[0] - 1, 0))
         C = Cb[sel]
         if onehot:

@@ -1,0 +1,154 @@
+"""Pallas TPU kernel: fused extend-add scatter as one-hot window matmuls.
+
+Role of the reference's extend-add scatter (``FrontDense.cpp:113-152``, the
+batched GPU ``extend_add_kernel`` ``FrontCUDA.cu:115``): each parent front
+``F[p, p]`` accumulates its child's contribution block ``C[u, u]`` at
+parent slots ``pos`` (``F[i, j] += C[pos[i], pos[j]]``).
+
+The XLA formulation (two ``take_along_axis`` sublane gathers + two
+transposes, see ``frontal/numeric.py::_extend_add_blocks``) round-trips the
+``[nf, p, u]`` / ``[nf, p, p]`` intermediates through HBM four times and ran
+at ~150 GB/s effective.  This kernel keeps everything in VMEM and rides the
+MXU instead, exploiting a structural invariant of multifrontal extend-add:
+
+* ``pos`` is an order-preserving map of the child update rows ``0..u-1``
+  ONTO a subset of parent slots (every child row lands in the parent, in
+  order).  Hence within ANY window of ``CH`` consecutive parent slots, the
+  referenced child rows are **consecutive integers** — a ``CH``-row window
+  of ``C`` covers them.
+
+Per row-chunk ``mi`` of the parent front (grid step):
+
+1. ``S = C[clo_i : clo_i + CH, :]`` — one sublane-dynamic VMEM load,
+2. ``OT[r, i] = (pos[i] - clo_i == r)`` — the one-hot window selector,
+   built by an iota compare (no gather),
+3. ``Gt = S^T @ OT`` — ``[u, CH]``, the row-expanded chunk, transposed for
+   free by contracting sublanes on the MXU,
+4. for each column chunk ``mj``: ``tile = (Gt[clo_j : clo_j + CH, :])^T @
+   OT_j`` — ``[CH, CH]``, again sublane-contracted, so NO transposes and no
+   lane-dynamic slices appear anywhere,
+5. ``F_chunk += concat(tiles)``.
+
+Cost: ``2·CH·p·(u+p)`` flops per front (CH=64) — ~26 GFlop for the whole
+32^3 Poisson plan, ~1 ms on the MXU, vs 13 ms for the gather formulation.
+Empty chunks need no branch: their selectors are all-zero, so padding,
+absent fronts (``idx < 0``) and invalid slots contribute exact zeros.
+
+Exactness: selector entries are 0/1 and each output element receives
+exactly one addend, so with ``precision=HIGHEST`` (true f32 MXU passes) the
+kernel is bit-exact with the gather path.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CH = 64  # parent-slot chunk (rows of one grid step; MXU tile fraction)
+
+
+def _supports(p: int, u: int, dtype) -> bool:
+    return (p % CH == 0 and u >= CH and u % 8 == 0
+            and jnp.dtype(dtype) == jnp.float32)
+
+
+def precompute_windows(pos: np.ndarray, idx: np.ndarray, u: int):
+    """Host-side window metadata for one (bucket, side, child-pair).
+
+    pos:  [nf, p] parent slot -> child row, -1 where no entry.
+    idx:  [nf] child block index within the pair's CB array, -1 = not
+          this pair.
+    Returns (pos_masked [nf, pmr] i32, clo [nf, nch] i32) or None when the
+    consecutive-window invariant does not hold (caller falls back to XLA).
+    """
+    nf, p = pos.shape
+    assert p % CH == 0
+    nch = p // CH
+    pos_m = np.where((idx[:, None] >= 0) & (pos >= 0), pos, -1)
+    pos_m = pos_m.astype(np.int32)
+    v = pos_m.reshape(nf, nch, CH)
+    valid = v >= 0
+    cnt = valid.sum(axis=2)
+    vmin = np.where(valid, v, np.iinfo(np.int32).max).min(axis=2)
+    vmax = np.where(valid, v, -1).max(axis=2)
+    # the invariant: valid child rows within a chunk are consecutive
+    if not np.all((cnt == 0) | (vmax - vmin + 1 == cnt)):
+        return None
+    if not np.all(vmax < u):
+        return None
+    clo = np.where(cnt == 0, 0, np.minimum(np.maximum(vmin, 0),
+                                           max(u - CH, 0)))
+    return pos_m, clo.astype(np.int32)
+
+
+def _ea_kernel(idx_ref, clo_ref, pos_ref, C_ref, Fin_ref, Fout_ref, gt_scr,
+               *, u, p):
+    f = pl.program_id(0)
+    mi = pl.program_id(1)
+    nch = p // CH
+    dtype = Fin_ref.dtype
+
+    def selector(m, clo):
+        # OT[r, i] = 1 iff pos[m*CH + i] == clo + r   (one-hot window map)
+        pv = pos_ref[:, pl.ds(m * CH, CH)]                   # [1, CH]
+        pb = jnp.broadcast_to(pv, (CH, CH))
+        r = jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+        return ((pb - clo == r) & (pb >= 0)).astype(dtype)
+
+    clo_i = clo_ref[f, mi]
+    OT_i = selector(mi, clo_i)
+    S = C_ref[0, pl.ds(clo_i, CH), :]                        # [CH, u]
+    # Gt[c, i] = sum_r S[r, c] * OT_i[r, i]  ->  [u, CH] row-expanded^T
+    gt_scr[...] = jax.lax.dot_general(
+        S, OT_i, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype)
+    tiles = []
+    for mj in range(nch):
+        clo_j = clo_ref[f, mj]
+        OT_j = selector(mj, clo_j)
+        S2 = gt_scr[pl.ds(clo_j, CH), :]                     # [CH(c), CH(i)]
+        # tile[i, j] = sum_c S2[c, i] * OT_j[c, j] = Gt[pos_j, i]^T
+        tiles.append(jax.lax.dot_general(
+            S2, OT_j, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype))
+    Fout_ref[0] = Fin_ref[0] + jnp.concatenate(tiles, axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def extend_add_pallas(F, C, idx, pos_m, clo, *, interpret=False):
+    """F[f] += C[idx[f]][pos, pos] for one (side, child-pair); F aliased.
+
+    F [nf, p, p] f32; C [nfc, u, u]; idx [nf] i32 (clamped for the block
+    index map; invalid fronts contribute zero via all -1 pos rows);
+    pos_m [nf, p] i32 (-1 = no entry); clo [nf, p//CH] i32 window starts.
+    """
+    nf, p, _ = F.shape
+    nfc, u, _ = C.shape
+    nch = p // CH
+    idx_c = jnp.maximum(idx, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # idx_c, clo
+        grid=(nf, nch),
+        in_specs=[
+            pl.BlockSpec((1, p), lambda f, mi, idx_r, clo_r: (f, 0)),
+            pl.BlockSpec((1, u, u),
+                         lambda f, mi, idx_r, clo_r: (idx_r[f], 0, 0)),
+            pl.BlockSpec((1, CH, p), lambda f, mi, idx_r, clo_r: (f, mi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, CH, p),
+                               lambda f, mi, idx_r, clo_r: (f, mi, 0)),
+        scratch_shapes=[pltpu.VMEM((u, CH), F.dtype)],
+    )
+    return pl.pallas_call(
+        partial(_ea_kernel, u=u, p=p),
+        out_shape=jax.ShapeDtypeStruct(F.shape, F.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={4: 0},    # F (5th positional input) -> out
+        interpret=interpret,
+    )(idx_c, clo, pos_m, C, F)
