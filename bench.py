@@ -63,8 +63,8 @@ def main():
             acc = jnp.zeros((), jnp.float32)
             z = jnp.zeros((), jnp.float32)
             for _ in range(n_it):
-                tree = numeric._factor_impl(s.pdev, arrays, v + acc * 0.0,
-                                            z, z)
+                tree, _ = numeric._factor_impl(s.pdev, arrays, v + acc * 0.0,
+                                               z, z)
                 for leaf in tree["lu"].values():
                     acc = acc + jnp.sum(leaf[:, 0, 0].astype(jnp.float32))
             return acc

@@ -183,7 +183,7 @@ class PlanDev:
                         # (ops/pallas_extadd.py); None when the bucket's
                         # shape or the consecutive-window invariant rules
                         # it out — the XLA gather path then runs instead.
-                        if u >= EA.CH and bp.p % EA.CH == 0:
+                        if EA._supports(bp.p, u):
                             pre = EA.precompute_windows(pos, idx, u)
                             if pre is not None:
                                 bd.host_arrays["eap" + key] = pre[0]
@@ -225,7 +225,7 @@ def _extend_add(F, cb_flat, pos, off, stride, umax=None):
     return F + jnp.matmul(T, CT, preferred_element_type=F.dtype)
 
 
-def _extend_add_blocks(F, cb_list, pos, pairs, a):
+def _extend_add_blocks(F, cb_list, pos, pairs, a, pallas_ok=True):
     """Extend-add from per-bucket child CB arrays.
 
     For each contributing child bucket: fetch each front's child CB with a
@@ -251,7 +251,7 @@ def _extend_add_blocks(F, cb_list, pos, pairs, a):
         # big buckets.  Falls back to the gather path off-TPU, for non-f32,
         # for buckets without window metadata, or with STRUMPACK_TPU_EA
         # set to gather/onehot.
-        if (("eap" + key) in a and mode in ("", "pallas")
+        if (pallas_ok and ("eap" + key) in a and mode in ("", "pallas")
                 and F.dtype == jnp.float32
                 and (jax.default_backend() == "tpu" or mode == "pallas")):
             F = EA.extend_add_pallas(
@@ -670,19 +670,28 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
 
 
 def _factor_impl(pdev, arrays, Avals, thresh, tol, spd=False,
-                 hss_tol=1e-4, pivoting=True):
+                 hss_tol=1e-4, pivoting=True, cbg=None, levels=None):
+    """``cbg(li, bi, CB)`` is the distributed-execution hook (parallel/
+    spmd.py): under a device mesh each bucket's CB batch is computed
+    SHARDED over the batch axis and the hook all-gathers it so the parent
+    level's extend-add sees the full child array — the alltoallv role of
+    the reference's distributed extend-add (FrontMPI.cpp:60-119).
+    ``levels`` restricts the sweep (the mesh driver factors 2D-distributed
+    root fronts outside this body)."""
     dtype = Avals.dtype
     vals_ext = jnp.concatenate(
         [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
     out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
            "blr_ranks": {}, "hss": {}}
     cb_list = []
-    for li, level in enumerate(pdev.levels):
+    for li in (range(len(pdev.levels)) if levels is None else levels):
         cb_list = [_bucket_factor_step(
             li, bi, bd, arrays[f"{li},{bi}"], vals_ext, cb_list,
             thresh, tol, spd, hss_tol, out, pivoting=pivoting)
-            for bi, bd in enumerate(level)]
-    return out
+            for bi, bd in enumerate(pdev.levels[li])]
+        if cbg is not None:
+            cb_list = [cbg(li, bi, cb) for bi, cb in enumerate(cb_list)]
+    return out, cb_list
 
 
 def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
@@ -759,9 +768,12 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
     return y, cbv
 
 
-def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
+def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext, delta=False):
     """Backward-solve one bucket: apply the upper factor given the already
-    solved ancestor values; scatters x_sep into xext and returns it."""
+    solved ancestor values; scatters x_sep into xext and returns it.
+    With ``delta=True`` (distributed mode) the scatter goes into a fresh
+    zero vector instead — the caller psums the per-device deltas over the
+    mesh (disjoint separator rows make add == set) and re-zeros slot n."""
     bp = bd.bp
     key = f"{li},{bi}"
     dtype = xext.dtype
@@ -818,34 +830,65 @@ def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext):
         else:
             xsep = jax.lax.linalg.triangular_solve(
                 lu, z, left_side=True, lower=False)
+    if delta:
+        return jnp.zeros_like(xext).at[a["sep_glob"].reshape(-1)].add(
+            xsep.reshape(-1, nrhs))
     xext = xext.at[a["sep_glob"].reshape(-1)].set(xsep.reshape(-1, nrhs))
     return xext.at[n].set(jnp.zeros((nrhs,), dtype))
 
 
-def _solve_impl(pdev, arrays, fac_tree, b):
-    """Traceable two-phase multifrontal solve; b is [n, nrhs] permuted."""
-    plan = pdev.plan
-    n = plan.n
-    dtype = b.dtype
-    nrhs = b.shape[1]
-    bext = jnp.concatenate([b, jnp.zeros((1, nrhs), dtype)], axis=0)
-
+def _solve_fwd_impl(pdev, arrays, fac_tree, bext, cbg=None, levels=None):
+    """Forward sweep (traceable); returns (ys, cbv_list).  ``cbg`` is the
+    distributed all-gather hook (see _factor_impl); ``levels`` restricts
+    the sweep for the mesh driver."""
     ys = {}
     cbv_list = []
-    for li, level in enumerate(pdev.levels):
+    for li in (range(len(pdev.levels)) if levels is None else levels):
         parts = []
-        for bi, bd in enumerate(level):
+        for bi, bd in enumerate(pdev.levels[li]):
             y, cbv = _bucket_fwd_step(li, bi, bd, arrays[f"{li},{bi}"],
                                       fac_tree, bext, cbv_list)
             ys[f"{li},{bi}"] = y
             parts.append(cbv)
+        if cbg is not None:
+            parts = [cbg(li, bi, cbv) for bi, cbv in enumerate(parts)]
         cbv_list = parts
+    return ys, cbv_list
 
+
+def _solve_bwd_impl(pdev, arrays, fac_tree, ys, xext, bwd_merge=None,
+                    levels=None):
+    """Backward sweep (traceable).  ``bwd_merge(li, deltas)`` is the
+    distributed reduction hook: each bucket produces a scatter DELTA and
+    the hook psums them over the mesh (disjoint rows: add == set)."""
+    n = xext.shape[0] - 1
+    nrhs = xext.shape[1]
+    rng = (range(len(pdev.levels) - 1, -1, -1) if levels is None
+           else levels)
+    for li in rng:
+        if bwd_merge is None:
+            for bi, bd in enumerate(pdev.levels[li]):
+                xext = _bucket_bwd_step(li, bi, bd, arrays[f"{li},{bi}"],
+                                        fac_tree, ys[f"{li},{bi}"], xext)
+        else:
+            deltas = [(bi, _bucket_bwd_step(
+                li, bi, bd, arrays[f"{li},{bi}"], fac_tree,
+                ys[f"{li},{bi}"], xext, delta=True))
+                for bi, bd in enumerate(pdev.levels[li])]
+            xext = xext + bwd_merge(li, deltas)
+            xext = xext.at[n].set(jnp.zeros((nrhs,), xext.dtype))
+    return xext
+
+
+def _solve_impl(pdev, arrays, fac_tree, b):
+    """Traceable two-phase multifrontal solve; b is [n, nrhs] permuted."""
+    n = pdev.plan.n
+    dtype = b.dtype
+    nrhs = b.shape[1]
+    bext = jnp.concatenate([b, jnp.zeros((1, nrhs), dtype)], axis=0)
+    ys, _ = _solve_fwd_impl(pdev, arrays, fac_tree, bext)
     xext = jnp.zeros((n + 1, nrhs), dtype=dtype)
-    for li in range(len(pdev.levels) - 1, -1, -1):
-        for bi, bd in enumerate(pdev.levels[li]):
-            xext = _bucket_bwd_step(li, bi, bd, arrays[f"{li},{bi}"],
-                                    fac_tree, ys[f"{li},{bi}"], xext)
+    xext = _solve_bwd_impl(pdev, arrays, fac_tree, ys, xext)
     return xext[:n]
 
 
@@ -990,8 +1033,10 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
                pivoting)
         fn = pdev._jit_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(_factor_impl, pdev, spd=spd,
-                                 hss_tol=hss_tol, pivoting=pivoting))
+            def run(arrays, Avals, th, tol):
+                return _factor_impl(pdev, arrays, Avals, th, tol, spd=spd,
+                                    hss_tol=hss_tol, pivoting=pivoting)[0]
+            fn = jax.jit(run)
             pdev._jit_cache[key] = fn
         with jax.default_matmul_precision(matmul_precision):
             tree = fn(pdev.arrays, Avals,

@@ -51,9 +51,19 @@ from jax.experimental.pallas import tpu as pltpu
 CH = 64  # parent-slot chunk (rows of one grid step; MXU tile fraction)
 
 
-def _supports(p: int, u: int, dtype) -> bool:
+def _supports(p: int, u: int, dtype=None) -> bool:
+    """Authoritative shape/dtype gate for the kernel (the plan-time caller
+    passes dtype=None: dtype is only known at trace time)."""
     return (p % CH == 0 and u >= CH and u % 8 == 0
-            and jnp.dtype(dtype) == jnp.float32)
+            and (dtype is None or jnp.dtype(dtype) == jnp.float32))
+
+
+def _win(u: int) -> int:
+    """Child-row window height for a child of padded size u.  8 wider than
+    the CH-slot chunk so the window start can be rounded DOWN to a multiple
+    of 8 (Mosaic only lowers dynamic sublane offsets it can prove are
+    multiples of 8) while still covering every referenced row."""
+    return CH + 8 if u >= CH + 8 else CH
 
 
 def precompute_windows(pos: np.ndarray, idx: np.ndarray, u: int):
@@ -62,8 +72,10 @@ def precompute_windows(pos: np.ndarray, idx: np.ndarray, u: int):
     pos:  [nf, p] parent slot -> child row, -1 where no entry.
     idx:  [nf] child block index within the pair's CB array, -1 = not
           this pair.
-    Returns (pos_masked [nf, pmr] i32, clo [nf, nch] i32) or None when the
+    Returns (pos_masked [nf, p] i32, clo8 [nf, nch] i32) or None when the
     consecutive-window invariant does not hold (caller falls back to XLA).
+    clo8 = window start / 8: the kernel multiplies by 8 in-register so
+    Mosaic can statically prove the sublane offset is 8-aligned.
     """
     nf, p = pos.shape
     assert p % CH == 0
@@ -80,28 +92,39 @@ def precompute_windows(pos: np.ndarray, idx: np.ndarray, u: int):
         return None
     if not np.all(vmax < u):
         return None
-    clo = np.where(cnt == 0, 0, np.minimum(np.maximum(vmin, 0),
-                                           max(u - CH, 0)))
-    return pos_m, clo.astype(np.int32)
+    w = _win(u)
+    # 8-aligned window start covering [vmin, vmax]: floor8(vmin) <= vmin,
+    # and vmax <= vmin + CH - 1 <= floor8(vmin) + 7 + CH - 1 < floor8 + w;
+    # clamped so the w-row load stays in bounds (u - w is 8-aligned).
+    clo = np.where(cnt == 0, 0,
+                   np.minimum((np.maximum(vmin, 0) // 8) * 8, max(u - w, 0)))
+    assert np.all((cnt == 0) | ((clo <= np.maximum(vmin, 0))
+                                & (vmax < clo + w)))
+    return pos_m, (clo // 8).astype(np.int32)
 
 
-def _ea_kernel(idx_ref, clo_ref, pos_ref, C_ref, Fin_ref, Fout_ref, gt_scr,
+def _ea_kernel(idx_ref, clo8_ref, pos_ref, C_ref, Fin_ref, Fout_ref, gt_scr,
                *, u, p):
     f = pl.program_id(0)
     mi = pl.program_id(1)
     nch = p // CH
+    w = _win(u)
     dtype = Fin_ref.dtype
 
     def selector(m, clo):
-        # OT[r, i] = 1 iff pos[m*CH + i] == clo + r   (one-hot window map)
-        pv = pos_ref[:, pl.ds(m * CH, CH)]                   # [1, CH]
-        pb = jnp.broadcast_to(pv, (CH, CH))
-        r = jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+        # OT[r, i] = 1 iff pos[m*CH + i] == clo + r   (one-hot window map).
+        # pos arrives pre-windowed [1, nch, CH] so selecting window m is a
+        # sublane-dim slice — Mosaic forbids non-128-aligned lane slices.
+        pv = pos_ref[0, pl.ds(m, 1), :]                      # [1, CH]
+        pb = jnp.broadcast_to(pv, (w, CH))
+        r = jax.lax.broadcasted_iota(jnp.int32, (w, CH), 0)
         return ((pb - clo == r) & (pb >= 0)).astype(dtype)
 
-    clo_i = clo_ref[f, mi]
+    # window starts stored /8 and rescaled HERE so Mosaic can prove the
+    # dynamic sublane offsets below are 8-aligned
+    clo_i = clo8_ref[f, mi] * 8
     OT_i = selector(mi, clo_i)
-    S = C_ref[0, pl.ds(clo_i, CH), :]                        # [CH, u]
+    S = C_ref[0, pl.ds(clo_i, w), :]                         # [w, u]
     # Gt[c, i] = sum_r S[r, c] * OT_i[r, i]  ->  [u, CH] row-expanded^T
     gt_scr[...] = jax.lax.dot_general(
         S, OT_i, (((0,), (0,)), ((), ())),
@@ -109,9 +132,9 @@ def _ea_kernel(idx_ref, clo_ref, pos_ref, C_ref, Fin_ref, Fout_ref, gt_scr,
         preferred_element_type=dtype)
     tiles = []
     for mj in range(nch):
-        clo_j = clo_ref[f, mj]
+        clo_j = clo8_ref[f, mj] * 8
         OT_j = selector(mj, clo_j)
-        S2 = gt_scr[pl.ds(clo_j, CH), :]                     # [CH(c), CH(i)]
+        S2 = gt_scr[pl.ds(clo_j, w), :]                      # [w(c), CH(i)]
         # tile[i, j] = sum_c S2[c, i] * OT_j[c, j] = Gt[pos_j, i]^T
         tiles.append(jax.lax.dot_general(
             S2, OT_j, (((0,), (0,)), ((), ())),
@@ -126,17 +149,26 @@ def extend_add_pallas(F, C, idx, pos_m, clo, *, interpret=False):
 
     F [nf, p, p] f32; C [nfc, u, u]; idx [nf] i32 (clamped for the block
     index map; invalid fronts contribute zero via all -1 pos rows);
-    pos_m [nf, p] i32 (-1 = no entry); clo [nf, p//CH] i32 window starts.
+    pos_m [nf, p] i32 (-1 = no entry); clo [nf, p//CH] i32 window
+    starts / 8 (see precompute_windows).
     """
     nf, p, _ = F.shape
     nfc, u, _ = C.shape
     nch = p // CH
     idx_c = jnp.maximum(idx, 0)
+    # pos_m arrives [nf, p]; a (1, p) block would violate Mosaic's rule that
+    # the last two block dims be divisible by (8, 128) or equal the array
+    # dims (nf is arbitrary).  Reshape to [nf, nch, CH]: the trailing block
+    # dims (nch, CH) EQUAL the trailing array dims (always lowerable), and
+    # window selection inside the kernel becomes a sublane-dim slice
+    # (lane-dim slices must be 128-aligned; CH-wide ones are not).
+    pos3 = pos_m.reshape(nf, nch, CH)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # idx_c, clo
         grid=(nf, nch),
         in_specs=[
-            pl.BlockSpec((1, p), lambda f, mi, idx_r, clo_r: (f, 0)),
+            pl.BlockSpec((1, nch, CH),
+                         lambda f, mi, idx_r, clo_r: (f, 0, 0)),
             pl.BlockSpec((1, u, u),
                          lambda f, mi, idx_r, clo_r: (idx_r[f], 0, 0)),
             pl.BlockSpec((1, CH, p), lambda f, mi, idx_r, clo_r: (f, mi, 0)),
@@ -151,4 +183,4 @@ def extend_add_pallas(F, C, idx, pos_m, clo, *, interpret=False):
         grid_spec=grid_spec,
         input_output_aliases={4: 0},    # F (5th positional input) -> out
         interpret=interpret,
-    )(idx_c, clo, pos_m, C, F)
+    )(idx_c, clo, pos3, C, F)

@@ -64,7 +64,8 @@ class DistributedSparseSolver(SparseSolver):
 
         from ..frontal import numeric
         if solver == KrylovSolver.DIRECT:
-            from .dist import make_sharded_factor_solve, to_global
+            from .dist import (from_global, make_sharded_factor_solve,
+                               to_global)
             if self._step is None:
                 eps = np.finfo(np.dtype(opts.factor_dtype)).eps
                 thresh = (np.sqrt(eps) * self.Ap.norm1()
@@ -79,9 +80,10 @@ class DistributedSparseSolver(SparseSolver):
                 # to_global lifts the (replicated) inputs onto the full
                 # mesh — in multi-process mode that is what makes the same
                 # program run across hosts (DCN between, ICI within)
-                xp = np.asarray(self._step(
+                xp = from_global(self._step(
                     to_global(np.asarray(self.Ap.data, dtype=fd), self.mesh),
-                    to_global(np.asarray(bp, dtype=fd), self.mesh)))
+                    to_global(np.asarray(bp, dtype=fd), self.mesh)),
+                    self.mesh)
             self.its = 1
             return self._transform_x(xp), ReturnCode.SUCCESS
 

@@ -8,6 +8,11 @@ jax imports anywhere.
 import os
 import sys
 
+# Record the launch platform so TPU-gated tests (test_tpu_lowering.py) can
+# re-target the real chip in a subprocess; the in-process suite runs on the
+# virtual CPU mesh.
+os.environ.setdefault("STRUMPACK_TPU_ORIG_PLATFORM",
+                      os.environ.get("JAX_PLATFORMS", ""))
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
