@@ -115,6 +115,22 @@ def make_device_gmres(pdev, rtol, atol, maxit, restart):
     return jax.jit(run)
 
 
+def make_device_gmres_blocked(pdev, rtol, atol, maxit, restart):
+    """Multi-rhs variant: ONE jitted program running a GMRES iteration
+    stream per column simultaneously (vmapped over the rhs axis — the
+    spmv, the multifrontal preconditioner and the Gram-Schmidt all batch;
+    the vmapped while_loop iterates until every column converges).
+    Returns jitted (fac_tree, vals, cols, B [n, nrhs]) ->
+    (X [n, nrhs], iters [nrhs], relres [nrhs])."""
+    one = make_device_gmres(pdev, rtol, atol, maxit, restart)
+
+    def run(fac_tree, vals, cols, B):
+        return jax.vmap(lambda bc: one(fac_tree, vals, cols, bc),
+                        in_axes=1, out_axes=(1, 0, 0))(B)
+
+    return jax.jit(run)
+
+
 def _fdt(fac_tree):
     if "fdt" in fac_tree:   # explicit marker (robust to quantized buckets)
         return fac_tree["fdt"].dtype

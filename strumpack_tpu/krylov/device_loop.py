@@ -21,32 +21,41 @@ from ..ops.spmv import spmv_ell
 
 
 def make_device_ir(pdev, ell, rtol, atol, maxit):
-    """Returns jitted (fac_tree, vals, cols, b) -> (x, iters, relres)."""
+    """Returns jitted (fac_tree, vals, cols, b) -> (x, iters, relres).
+
+    b may be [n] or [n, nrhs]: the blocked variant runs ONE iteration
+    stream for all right-hand sides (the reference's DenseMatrix-rhs
+    iterative refinement, IterativeSolvers.hpp:56-141) — the multifrontal
+    preconditioner and the spmv batch over the rhs axis, and the loop
+    runs until every column's residual converges."""
 
     def run(fac_tree, vals, cols, b):
         rdt = b.dtype
-        bnorm = jnp.linalg.norm(b)
+        squeeze = b.ndim == 1
+        B = b[:, None] if squeeze else b
+        bnorm = jnp.linalg.norm(B, axis=0)               # [nrhs]
         tol = jnp.maximum(rtol * bnorm, atol)
 
-        def prec(r):
-            rl = r.astype(_factor_dtype(fac_tree))
-            x = numeric._solve_impl(pdev, pdev.arrays, fac_tree, rl[:, None])
-            return x[:, 0].astype(rdt)
+        def prec(R):
+            rl = R.astype(_factor_dtype(fac_tree))
+            return numeric._solve_impl(pdev, pdev.arrays, fac_tree,
+                                       rl).astype(rdt)
 
         def cond(st):
             x, r, rn, it = st
-            return (it < maxit) & (rn > tol)
+            return (it < maxit) & jnp.any(rn > tol)
 
         def body(st):
             x, r, rn, it = st
             x = x + prec(r)
-            r = b - spmv_ell(vals, cols, x)
-            return x, r, jnp.linalg.norm(r), it + 1
+            r = B - spmv_ell(vals, cols, x)
+            return x, r, jnp.linalg.norm(r, axis=0), it + 1
 
         x, r, rn, it = jax.lax.while_loop(
             cond, body,
-            (jnp.zeros_like(b), b, bnorm, jnp.zeros((), jnp.int32)))
-        return x, it, rn / jnp.maximum(bnorm, jnp.finfo(rdt).tiny)
+            (jnp.zeros_like(B), B, bnorm, jnp.zeros((), jnp.int32)))
+        rel = jnp.max(rn / jnp.maximum(bnorm, jnp.finfo(rdt).tiny))
+        return (x[:, 0] if squeeze else x), it, rel
 
     return jax.jit(run)
 

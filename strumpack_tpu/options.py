@@ -152,6 +152,9 @@ class SPOptions:
     # compression (FrontFactory thresholds, StrumpackOptions.hpp:601-666)
     compression: CompressionType = CompressionType.NONE
     compression_min_sep_size: int = 256
+    # re-partition big separators' graphs so BLR tiles / HSS leaves are
+    # graph clusters (MatrixReordering::separator_reordering role)
+    separator_reordering: bool = True
     compression_min_front_size: int = 512
     compression_leaf_size: int = 128
     # per-type thresholds for the composite schemes
@@ -274,6 +277,9 @@ class SPOptions:
             "sp_disable_symmetric": ("symmetric", False),
             "sp_enable_positive_definite": ("positive_definite", True),
             "sp_disable_positive_definite": ("positive_definite", False),
+            "sp_enable_separator_reordering": ("separator_reordering", True),
+            "sp_disable_separator_reordering":
+                ("separator_reordering", False),
         }
         hss_bool = {
             "hss_enable_sampling": True,

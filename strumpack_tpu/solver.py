@@ -202,6 +202,21 @@ class SparseSolver:
         else:
             return ReturnCode.REORDERING_ERROR
 
+        # separator reordering for compression cluster trees
+        # (MatrixReordering.cpp:159: re-partition each big separator's
+        # graph so BLR tiles / HSS leaves are graph clusters; composed
+        # into perm BEFORE symbolic — see ordering/separator_reorder.py)
+        from .options import CompressionType
+        if opts.compression != CompressionType.NONE:
+            from .sparse.ordering.separator_reorder import \
+                separator_reordering
+            Asymp = Asym.permute(perm, iperm)
+            q = separator_reordering(Asymp, tree, opts)
+            if q is not None:
+                perm = perm[q]
+                iperm = np.empty_like(perm)
+                iperm[perm] = np.arange(A.n)
+
         self.perm, self.iperm, self.tree = perm, iperm, tree
         self._rescale_and_permute()
 
@@ -420,16 +435,68 @@ class SparseSolver:
                     bp, self._transform_b(x0) if x0 is not None else None)
                 xp = np.asarray(xdev)
             else:
-                cols = []
+                # blocked multi-rhs: ONE Krylov iteration stream for all
+                # columns (the reference's DenseMatrix-rhs solvers,
+                # IterativeSolvers.hpp:56-141) on the device paths
+                import jax
                 x0p = self._transform_b(x0) if x0 is not None else None
-                tot = 0
-                for j in range(bp.shape[1]):
-                    xdev, its, self.achieved_rtol = run_one(
-                        bp[:, j], None if x0p is None else x0p[:, j])
-                    cols.append(np.asarray(xdev))
-                    tot += its
-                self.its = tot
-                xp = np.stack(cols, axis=1)
+                from .frontal.numeric import SPLIT_SOLVE_BUCKETS
+                small_plan = (sum(len(l) for l in self.pdev.levels)
+                              <= SPLIT_SOLVE_BUCKETS)
+                blocked = (x0p is None and not opts.verbose and small_plan
+                           and solver in (KrylovSolver.REFINE,
+                                          KrylovSolver.PREC_GMRES)
+                           and not (solver == KrylovSolver.PREC_GMRES
+                                    and np.issubdtype(
+                                        rd, np.complexfloating)))
+                if blocked and solver == KrylovSolver.REFINE:
+                    from .krylov.device_loop import make_device_ir
+                    key = ("ir", rd.name, opts.rel_tol, opts.abs_tol,
+                           opts.maxit, opts.matmul_precision)
+                    fn = self.pdev._jit_cache.get(key)
+                    if fn is None:
+                        fn = make_device_ir(self.pdev, self.ell,
+                                            opts.rel_tol, opts.abs_tol,
+                                            opts.maxit)
+                        self.pdev._jit_cache[key] = fn
+                    with jax.default_matmul_precision(
+                            opts.matmul_precision):
+                        x, it, rel = fn(self.fac.tree, self.ell.vals,
+                                        self.ell.cols,
+                                        jnp.asarray(bp, dtype=rd))
+                    xp = np.asarray(x)
+                    self.its = int(it)
+                    self.achieved_rtol = float(rel)
+                elif blocked:
+                    from .krylov.device_gmres import \
+                        make_device_gmres_blocked
+                    key = ("gmresb", rd.name, opts.rel_tol, opts.abs_tol,
+                           opts.maxit, opts.gmres_restart,
+                           opts.matmul_precision)
+                    fn = self.pdev._jit_cache.get(key)
+                    if fn is None:
+                        fn = make_device_gmres_blocked(
+                            self.pdev, opts.rel_tol, opts.abs_tol,
+                            opts.maxit, opts.gmres_restart)
+                        self.pdev._jit_cache[key] = fn
+                    with jax.default_matmul_precision(
+                            opts.matmul_precision):
+                        x, it, rel = fn(self.fac.tree, self.ell.vals,
+                                        self.ell.cols,
+                                        jnp.asarray(bp, dtype=rd))
+                    xp = np.asarray(x)
+                    self.its = int(np.max(np.asarray(it)))
+                    self.achieved_rtol = float(np.max(np.asarray(rel)))
+                else:
+                    cols = []
+                    tot = 0
+                    for j in range(bp.shape[1]):
+                        xdev, its, self.achieved_rtol = run_one(
+                            bp[:, j], None if x0p is None else x0p[:, j])
+                        cols.append(np.asarray(xdev))
+                        tot += its
+                    self.its = tot
+                    xp = np.stack(cols, axis=1)
 
         x = self._transform_x(xp)
         self.times["solve"] = time.perf_counter() - t0

@@ -621,3 +621,46 @@ def test_blr_hodlr_composite():
     x2, rc2 = s2.solve(b2)
     assert rc2 == ReturnCode.SUCCESS
     assert A2.max_scaled_residual(x2, b2) < 1e-12
+
+
+def test_blocked_multirhs_refine():
+    """nrhs=16 through ONE device-IR iteration stream (the reference's
+    DenseMatrix-rhs solvers, IterativeSolvers.hpp:56-141)."""
+    A = poisson2d(24)
+    opts = SPOptions(krylov_solver=KrylovSolver.REFINE,
+                     factor_dtype="float32", rel_tol=1e-10)
+    s, x, xex = check_solve(A, opts, nx=24, ny=24, nrhs=16)
+    assert x.shape == (A.n, 16)
+    # one shared iteration stream: its is per-stream, not summed per rhs
+    assert 1 <= s.its <= opts.maxit
+
+
+def test_blocked_multirhs_gmres():
+    """nrhs=8 via the vmapped on-device GMRES (one program, per-column
+    convergence)."""
+    A = poisson2d(20)
+    opts = SPOptions(krylov_solver=KrylovSolver.PREC_GMRES,
+                     factor_dtype="float32", rel_tol=1e-8,
+                     compression=CompressionType.BLR)
+    opts.blr.rel_tol = 1e-6
+    opts.compression_min_sep_size = 64
+    s, x, xex = check_solve(A, opts, nx=20, ny=20, nrhs=8)
+    assert x.shape == (A.n, 8)
+    assert 1 <= s.its <= opts.maxit
+
+
+def test_separator_reordering_composes():
+    """Separator reordering (MatrixReordering.cpp:159 role) composes into
+    the global permutation without changing the answer, and can be
+    disabled by flag."""
+    A = poisson3d(14)
+    for flag in (True, False):
+        opts = SPOptions(compression=CompressionType.BLR,
+                         compression_min_sep_size=64,
+                         krylov_solver=KrylovSolver.PREC_GMRES,
+                         rel_tol=1e-6, separator_reordering=flag)
+        opts.blr.rel_tol = 1e-6
+        check_solve(A, opts, nx=14, ny=14, nz=14)
+    o = SPOptions()
+    rest = o.set_from_command_line(["--sp_disable_separator_reordering"])
+    assert rest == [] and o.separator_reordering is False
