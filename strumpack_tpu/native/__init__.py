@@ -44,6 +44,10 @@ def _load():
             ctypes.POINTER(I64P)] * 6
         lib.nested_dissection_ml.restype = ctypes.c_int64
         lib.nested_dissection_ml.argtypes = lib.nested_dissection.argtypes
+        lib.min_degree_order.restype = ctypes.c_int64
+        lib.min_degree_order.argtypes = [
+            ctypes.c_int64, I64P, I64P, ctypes.c_int,
+            ctypes.POINTER(I64P)]
         lib.hostsym_free.argtypes = [I64P]
         _lib = lib
     except Exception:
@@ -84,6 +88,25 @@ def symbolic_factorization_native(Ap, tree):
     off = _take(lib, out_off, tree.nseps + 1)
     flat = _take(lib, out_upd, max(int(off[-1]), 1))
     return [flat[off[i]:off[i + 1]] for i in range(tree.nseps)]
+
+
+def min_degree_native(rowptr, colind, n, multiple=False):
+    """C++ quotient-graph minimum degree (AMD role; multiple=True is the
+    MMD variant).  Returns perm[new]=old or None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colind = np.ascontiguousarray(colind, dtype=np.int64)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    out = I64P()
+    np_ = lib.min_degree_order(n, _as_i64p(rowptr), _as_i64p(colind),
+                               1 if multiple else 0, ctypes.byref(out))
+    if np_ != n:
+        if np_ > 0:
+            lib.hostsym_free(out)
+        return None
+    return _take(lib, out, n)
 
 
 def nested_dissection_native(rowptr, colind, n, leaf=32, method="bfs"):

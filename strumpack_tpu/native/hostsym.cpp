@@ -642,6 +642,247 @@ i64 nested_dissection_ml(i64 n, const i64* rowptr, const i64* colind,
   return ns;
 }
 
+// ---------------------------------------------------------------------------
+// Quotient-graph minimum-degree ordering (AMD / MMD roles).
+//
+// Role of the reference's minimum_degree/amdbar.F (Amestoy-Davis-Duff
+// approximate minimum degree) and genmmd/mmd*.F (Liu's multiple minimum
+// degree) — re-implemented from the published algorithm, not translated:
+// the eliminated pivot becomes an ELEMENT whose boundary Lp is the union
+// of its variable neighbors and its absorbed elements' boundaries; each
+// boundary variable keeps (pruned variable list, element list) and an
+// APPROXIMATE external degree  d(v) <= |Av| + |Lp \ v| + sum |Le \ Lp|
+// computed with the one-scan w[] trick.  Elements emptied by the scan
+// (Le subset of Lp) are aggressively absorbed.  `multiple` != 0 runs the
+// MMD variant: an independent set of minimum-degree pivots is eliminated
+// per outer step before degrees refresh.
+//
+// Returns perm[new] = old in *out_perm (malloc'd, n entries).
+// ---------------------------------------------------------------------------
+i64 min_degree_order(i64 n, const i64* rowptr, const i64* colind,
+                     int multiple, i64** out_perm) {
+  std::vector<std::vector<int>> Av((size_t)n), Ev((size_t)n), Le;
+  std::vector<char> dead((size_t)n, 0);   // eliminated OR merged variable
+  std::vector<char> edead;                // absorbed element
+  std::vector<i64> degree((size_t)n, 0);
+  std::vector<i64> nv((size_t)n, 1);      // supervariable weights
+  std::vector<int> mchild((size_t)n, -1), mnext((size_t)n, -1);
+  // build adjacency (symmetric union, diagonal dropped)
+  for (i64 i = 0; i < n; ++i)
+    for (i64 p = rowptr[i]; p < rowptr[i + 1]; ++p) {
+      i64 j = colind[p];
+      if (j != i && j >= 0 && j < n) {
+        Av[(size_t)i].push_back((int)j);
+        Av[(size_t)j].push_back((int)i);
+      }
+    }
+  for (i64 i = 0; i < n; ++i) {
+    auto& a = Av[(size_t)i];
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+    degree[(size_t)i] = (i64)a.size();
+  }
+  // lazy min-heap of (degree, vertex)
+  using Q = std::pair<i64, int>;
+  std::priority_queue<Q, std::vector<Q>, std::greater<Q>> heap;
+  for (i64 i = 0; i < n; ++i) heap.push({degree[(size_t)i], (int)i});
+
+  std::vector<i64> mark((size_t)n, 0);        // Lp membership stamp
+  i64 stamp = 0;
+  std::vector<i64> wstamp, wval;              // per-element |Le \ Lp| scan
+  i64* perm = (i64*)malloc(sizeof(i64) * (size_t)std::max<i64>(n, 1));
+  i64 np = 0;
+  std::vector<int> Lp, batch;
+  std::vector<std::pair<uint64_t, int>> hashes;
+
+  auto emit = [&](int p) {   // output p and its merged chain (DFS)
+    std::vector<int> st{p};
+    while (!st.empty()) {
+      int v = st.back();
+      st.pop_back();
+      perm[np++] = v;
+      for (int c = mchild[(size_t)v]; c >= 0; c = mnext[(size_t)c])
+        st.push_back(c);
+    }
+  };
+
+  auto eliminate = [&](int p) {
+    // Lp = (Av(p) u union Le(e), e in Ev(p)) \ {p, dead}
+    ++stamp;
+    Lp.clear();
+    i64 nvLp = 0;
+    mark[(size_t)p] = stamp;
+    for (int u : Av[(size_t)p])
+      if (!dead[(size_t)u] && mark[(size_t)u] != stamp) {
+        mark[(size_t)u] = stamp;
+        Lp.push_back(u);
+        nvLp += nv[(size_t)u];
+      }
+    for (int e : Ev[(size_t)p]) {
+      if (edead[(size_t)e]) continue;
+      for (int u : Le[(size_t)e])
+        if (!dead[(size_t)u] && mark[(size_t)u] != stamp) {
+          mark[(size_t)u] = stamp;
+          Lp.push_back(u);
+          nvLp += nv[(size_t)u];
+        }
+      edead[(size_t)e] = 1;                   // absorbed into new element
+    }
+    dead[(size_t)p] = 1;
+    emit(p);
+    Av[(size_t)p].clear();
+    Av[(size_t)p].shrink_to_fit();
+    Ev[(size_t)p].clear();
+    if (Lp.empty()) return;
+    int ep = (int)Le.size();
+    Le.push_back(Lp);
+    edead.push_back(0);
+    wstamp.resize(Le.size(), 0);
+    wval.resize(Le.size(), 0);
+    // one scan: wval[e] = weight of Le(e) \ Lp for elements touching Lp
+    for (int v : Lp)
+      for (int e : Ev[(size_t)v]) {
+        if (edead[(size_t)e]) continue;
+        if (wstamp[(size_t)e] != stamp) {
+          wstamp[(size_t)e] = stamp;
+          auto& le = Le[(size_t)e];           // compact to live entries
+          size_t kk = 0;
+          i64 wt = 0;
+          for (int u : le)
+            if (!dead[(size_t)u]) {
+              le[kk++] = u;
+              wt += nv[(size_t)u];
+            }
+          le.resize(kk);
+          wval[(size_t)e] = wt;
+        }
+        wval[(size_t)e] -= nv[(size_t)v];
+      }
+    hashes.clear();
+    for (int v : Lp) {
+      // prune: drop eliminated vars and Lp members (covered by ep)
+      auto& a = Av[(size_t)v];
+      size_t k = 0;
+      i64 nva = 0;
+      uint64_t h = 0;
+      for (int u : a)
+        if (!dead[(size_t)u] && mark[(size_t)u] != stamp) {
+          a[k++] = u;
+          nva += nv[(size_t)u];
+          h += (uint64_t)u * 0x9e3779b97f4a7c15ull;
+        }
+      a.resize(k);
+      // element list: drop absorbed, aggressively absorb empty, add ep
+      auto& el = Ev[(size_t)v];
+      size_t m = 0;
+      i64 dsum = 0;
+      for (int e : el) {
+        if (edead[(size_t)e]) continue;
+        if (wstamp[(size_t)e] == stamp && wval[(size_t)e] <= 0) {
+          edead[(size_t)e] = 1;               // Le subset of Lp: absorb
+          continue;
+        }
+        el[m++] = e;
+        h += (uint64_t)(e + n) * 0xc2b2ae3d27d4eb4full;
+        dsum += (wstamp[(size_t)e] == stamp) ? wval[(size_t)e]
+                                             : (i64)Le[(size_t)e].size();
+      }
+      el.resize(m);
+      el.push_back(ep);
+      i64 d = nva + (nvLp - nv[(size_t)v]) + dsum;
+      degree[(size_t)v] = std::min(d, n - np);
+      hashes.push_back({h, v});
+    }
+    // supervariable detection: equal hash -> verify identical
+    // (Av, Ev \ {ep}) lists -> merge w into v (amdbar.F role)
+    std::sort(hashes.begin(), hashes.end());
+    for (size_t i0 = 0; i0 < hashes.size();) {
+      size_t i1 = i0 + 1;
+      while (i1 < hashes.size() && hashes[i1].first == hashes[i0].first)
+        ++i1;
+      for (size_t ii = i0; ii + 1 < i1; ++ii) {
+        int v = hashes[ii].second;
+        if (dead[(size_t)v]) continue;
+        for (size_t jj = ii + 1; jj < i1; ++jj) {
+          int w = hashes[jj].second;
+          if (dead[(size_t)w]) continue;
+          auto &av = Av[(size_t)v], &aw = Av[(size_t)w];
+          auto &evv = Ev[(size_t)v], &evw = Ev[(size_t)w];
+          if (av.size() != aw.size() || evv.size() != evw.size())
+            continue;
+          ++stamp;   // mark-compare the two adjacency lists as sets
+          for (int u : av) mark[(size_t)u] = stamp;
+          mark[(size_t)v] = stamp;   // allow mutual adjacency v<->w
+          bool same = true;
+          for (int u : aw)
+            if (mark[(size_t)u] != stamp && u != w) { same = false; break; }
+          if (same) {
+            std::sort(evv.begin(), evv.end());
+            std::sort(evw.begin(), evw.end());
+            same = evv == evw;
+          }
+          if (!same) continue;
+          nv[(size_t)v] += nv[(size_t)w];     // merge w into v
+          dead[(size_t)w] = 1;
+          mnext[(size_t)w] = mchild[(size_t)v];
+          mchild[(size_t)v] = w;
+          Av[(size_t)w].clear();
+          Av[(size_t)w].shrink_to_fit();
+          Ev[(size_t)w].clear();
+        }
+      }
+      i0 = i1;
+    }
+    for (int v : Lp)
+      if (!dead[(size_t)v]) heap.push({degree[(size_t)v], v});
+  };
+
+  while (np < n) {
+    if (heap.empty()) {                       // isolated leftovers
+      for (i64 i = 0; i < n; ++i)
+        if (!dead[(size_t)i]) {
+          dead[(size_t)i] = 1;
+          emit((int)i);
+        }
+      break;
+    }
+    auto [d, p] = heap.top();
+    heap.pop();
+    if (dead[(size_t)p] || d != degree[(size_t)p]) continue;
+    if (!multiple) {
+      eliminate(p);
+      continue;
+    }
+    // MMD: gather an independent set of min-degree pivots, then
+    // eliminate them all before any pushed degree updates take effect
+    batch.clear();
+    batch.push_back(p);
+    ++stamp;
+    for (int u : Av[(size_t)p]) mark[(size_t)u] = stamp;
+    for (int e : Ev[(size_t)p])
+      if (!edead[(size_t)e])
+        for (int u : Le[(size_t)e]) mark[(size_t)u] = stamp;
+    while (!heap.empty() && heap.top().first == d) {
+      auto [d2, q] = heap.top();
+      if (dead[(size_t)q] || d2 != degree[(size_t)q]) {
+        heap.pop();
+        continue;
+      }
+      if (mark[(size_t)q] == stamp) break;    // adjacent to the batch
+      heap.pop();
+      batch.push_back(q);
+      for (int u : Av[(size_t)q]) mark[(size_t)u] = stamp;
+      for (int e : Ev[(size_t)q])
+        if (!edead[(size_t)e])
+          for (int u : Le[(size_t)e]) mark[(size_t)u] = stamp;
+    }
+    for (int q : batch)
+      if (!dead[(size_t)q]) eliminate(q);
+  }
+  *out_perm = perm;
+  return np;
+}
+
 void hostsym_free(i64* p) { free(p); }
 
 }  // extern "C"

@@ -14,7 +14,16 @@ import numpy as np
 
 
 def amd_order(rowptr, colind, n) -> np.ndarray:
-    """Return perm with perm[new] = old (elimination order)."""
+    """Return perm with perm[new] = old (elimination order).
+
+    Dispatches to the native C++ quotient-graph approximate minimum
+    degree (native/hostsym.cpp min_degree_order — the amdbar.F role,
+    usable at 64^3 scale); this Python clique-update version remains as
+    the no-compiler fallback."""
+    from ...native import min_degree_native
+    p = min_degree_native(rowptr, colind, n, multiple=False)
+    if p is not None:
+        return p
     # adjacency sets, diagonal removed
     adj = [set() for _ in range(n)]
     for i in range(n):
@@ -50,7 +59,11 @@ def mmd_order(rowptr, colind, n) -> np.ndarray:
 
     Role of the reference's ``sparse/ordering/genmmd/mmd*.F`` (Liu's
     multiple elimination MMD); same quotient-graph clique-update core as
-    amd_order above."""
+    amd_order above.  Native C++ path first (hostsym.cpp, multiple=1)."""
+    from ...native import min_degree_native
+    p = min_degree_native(rowptr, colind, n, multiple=True)
+    if p is not None:
+        return p
     adj = [set() for _ in range(n)]
     for i in range(n):
         for p in range(rowptr[i], rowptr[i + 1]):
