@@ -921,6 +921,31 @@ class Factors:
             m = max(m, int(np.asarray(r).max()) if r.size else 0)
         return m
 
+    def rank_saturated(self) -> bool:
+        """True when any compressed bucket's masked ranks hit their fixed
+        cap — the trace-level signal that the fixed sketch/rank budget was
+        too small (the reference detects this inside its adaptive
+        compression loop, HSSMatrix.compress.hpp:37-100, and restarts with
+        more samples; here the driver doubles the caps and re-traces)."""
+        for key, rk in self.tree["blr_ranks"].items():
+            li, bi = map(int, key.split(","))
+            bp = self.pdev.levels[li][bi].bp
+            if (rk.size and bp.max_rank < bp.tile
+                    and int(np.asarray(rk).max()) >= bp.max_rank):
+                return True
+        for key, entry in self.tree["hss"].items():
+            li, bi = map(int, key.split(","))
+            bp = self.pdev.levels[li][bi].bp
+            cap = bp.hss_rank
+            if not cap or cap >= bp.hss_leaf:
+                continue
+            H = entry[0]
+            for lvl in getattr(H, "ranks", []):
+                for r in lvl:
+                    if r.size and int(np.asarray(r).max()) >= cap:
+                        return True
+        return False
+
     def inertia(self):
         """(n_pos, n_neg, n_zero) from the U diagonals; INACCURATE when any
         partial-pivot permutation is nontrivial (SparseSolverBase.hpp:368,

@@ -155,6 +155,9 @@ class SPOptions:
     # re-partition big separators' graphs so BLR tiles / HSS leaves are
     # graph clusters (MatrixReordering::separator_reordering role)
     separator_reordering: bool = True
+    # double saturated rank caps and re-trace (HSS adaptive d0+dd role,
+    # HSSMatrix.compress.hpp:37-100) so tolerance alone drives accuracy
+    adaptive_rank: bool = True
     compression_min_front_size: int = 512
     compression_leaf_size: int = 128
     # per-type thresholds for the composite schemes
@@ -280,6 +283,8 @@ class SPOptions:
             "sp_enable_separator_reordering": ("separator_reordering", True),
             "sp_disable_separator_reordering":
                 ("separator_reordering", False),
+            "sp_enable_adaptive_rank": ("adaptive_rank", True),
+            "sp_disable_adaptive_rank": ("adaptive_rank", False),
         }
         hss_bool = {
             "hss_enable_sampling": True,

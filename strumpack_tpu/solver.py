@@ -252,12 +252,44 @@ class SparseSolver:
         if opts.replace_tiny_pivots:
             eps = np.finfo(np.dtype(opts.factor_dtype)).eps
             thresh = np.sqrt(eps) * self.Ap.norm1()
-        self.fac = numeric.factorize(
-            self.pdev, self.Ap.data, thresh=thresh,
-            dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol,
-            spd=opts.positive_definite, hss_tol=opts.hss.rel_tol,
-            matmul_precision=opts.matmul_precision,
-            pivoting=opts.pivoting)
+        def run_factor():
+            return numeric.factorize(
+                self.pdev, self.Ap.data, thresh=thresh,
+                dtype=np.dtype(opts.factor_dtype), blr_tol=opts.blr.rel_tol,
+                spd=opts.positive_definite, hss_tol=opts.hss.rel_tol,
+                matmul_precision=opts.matmul_precision,
+                pivoting=opts.pivoting)
+
+        self.fac = run_factor()
+        # adaptive rank control (HSSMatrix.compress.hpp:37-100 role: the
+        # reference doubles the sample count until the ID rank resolves;
+        # here the data-dependent loop lives at TRACE level — if any
+        # bucket's masked ranks hit their fixed cap, the caps double and
+        # the factorization re-traces with the larger static shapes, so
+        # tolerance alone drives accuracy)
+        if (opts.adaptive_rank
+                and opts.compression != CompressionType.NONE):
+            for _ in range(4):
+                if not self.fac.rank_saturated():
+                    break
+                grew = False
+                for lvl in self.plan.levels:
+                    for bp in lvl:
+                        if bp.blr and bp.max_rank < bp.tile:
+                            bp.max_rank = min(bp.tile, bp.max_rank * 2)
+                            grew = True
+                        if ((bp.hss or bp.hodlr or bp.hodbf
+                             or bp.hss_sample)
+                                and 0 < bp.hss_rank < bp.hss_leaf):
+                            bp.hss_rank = min(bp.hss_leaf, bp.hss_rank * 2)
+                            grew = True
+                if not grew:
+                    break
+                if opts.verbose:
+                    print("# adaptive rank restart: saturated caps "
+                          "doubled, re-factoring")
+                self.pdev._jit_cache.clear()
+                self.fac = run_factor()
         from .utils.sync import device_sync
         device_sync(self.fac.tree)
         self._factored = True

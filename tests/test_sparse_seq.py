@@ -664,3 +664,34 @@ def test_separator_reordering_composes():
     o = SPOptions()
     rest = o.set_from_command_line(["--sp_disable_separator_reordering"])
     assert rest == [] and o.separator_reordering is False
+
+
+def test_adaptive_rank_restart():
+    """Adaptive rank control (HSSMatrix.compress.hpp:37-100 d0+dd role):
+    with a deliberately too-small BLR rank cap, the fixed-rank path loses
+    accuracy silently; the adaptive path detects cap saturation, doubles
+    the caps, re-traces, and meets the residual contract with no
+    hand-tuned max_rank."""
+    A = poisson3d(12)
+    rng = np.random.default_rng(3)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+
+    def run(adaptive):
+        opts = SPOptions(compression=CompressionType.BLR,
+                         compression_min_sep_size=32,
+                         krylov_solver=KrylovSolver.DIRECT,
+                         rel_tol=1e-8, adaptive_rank=adaptive)
+        opts.blr.rel_tol = 1e-8
+        opts.blr.max_rank = 4          # deliberately saturating
+        s = SparseSolver(opts)
+        s.set_csr_matrix(A)
+        assert s.reorder(12, 12, 12) == ReturnCode.SUCCESS
+        x, rc = s.solve(b)
+        return A.max_scaled_residual(x, b), s
+
+    res_fixed, s0 = run(False)
+    res_adapt, s1 = run(True)
+    assert s0.fac.rank_saturated()
+    assert res_adapt < ERROR_TOL * 1e-8, res_adapt
+    assert res_adapt < res_fixed / 10, (res_fixed, res_adapt)
