@@ -244,7 +244,7 @@ def _extend_add_blocks(F, cb_list, pos, pairs, a, pallas_ok=True):
     mode = os.environ.get("STRUMPACK_TPU_EA", "")
     onehot = mode == "onehot"
     for (bk, u, key) in pairs:
-        Cb = cb_list[bk]                       # [nfc, u, u]
+        Cb = _cb_dense(cb_list[bk])            # [nfc, u, u]
         idx = a[key]                           # [nf], -1 = not this bucket
         # fused Pallas window-matmul kernel (ops/pallas_extadd.py): all
         # intermediates stay in VMEM, ~10x the gather formulation on the
@@ -278,6 +278,64 @@ def _extend_add_blocks(F, cb_list, pos, pairs, a, pallas_ok=True):
         H = jnp.take_along_axis(GT, posc[:, :, None], axis=1)    # [nf,p,p]
         F = F + H.transpose(0, 2, 1)
     return F
+
+
+@jax.tree_util.register_pytree_node_class
+class BLRCB:
+    """BLR-compressed contribution block batch (the reference's
+    memory-efficient F22blr_ variant, FrontBLR.cpp:69 build_front_cols):
+    diagonal tiles dense, off-diagonal tiles as truncated RRQR factors.
+    Between split-program dispatches (and across mesh collectives) this
+    is what gets materialized instead of the dense [nf, u, u] buffer."""
+
+    def __init__(self, diag, U, V, u, t):
+        self.diag = diag      # [nf, nt, t, t]
+        self.U = U            # [nf, noff, t, r]
+        self.V = V            # [nf, noff, r, t]
+        self.u = int(u)
+        self.t = int(t)
+
+    def tree_flatten(self):
+        return (self.diag, self.U, self.V), (self.u, self.t)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):          # duck-type the dense CB's leading dims
+        return (self.diag.shape[0], self.u, self.u)
+
+
+def _compress_cb(CB, t, tol, r):
+    """[nf, u, u] -> BLRCB with off-diagonal t-tiles at rank <= r."""
+    from ..ops.rrqr import rrqr
+    nf, u, _ = CB.shape
+    nt = u // t
+    T = CB.reshape(nf, nt, t, nt, t).transpose(0, 1, 3, 2, 4)
+    ar = jnp.arange(nt)
+    diag = T[:, ar, ar]                                   # [nf, nt, t, t]
+    io, jo = np.nonzero(~np.eye(nt, dtype=bool))
+    Toff = T[:, io, jo]                                   # [nf, noff, t, t]
+    U, V, _ = rrqr(Toff, tol, r)
+    return BLRCB(diag, U, V, u, t)
+
+
+def _cb_dense(entry):
+    """Materialize a (possibly compressed) child CB batch to [nf, u, u]."""
+    if not isinstance(entry, BLRCB):
+        return entry
+    nf = entry.diag.shape[0]
+    u, t = entry.u, entry.t
+    nt = u // t
+    dt = entry.diag.dtype
+    off = jnp.matmul(entry.U, entry.V, preferred_element_type=dt)
+    T = jnp.zeros((nf, nt, nt, t, t), dt)
+    io, jo = np.nonzero(~np.eye(nt, dtype=bool))
+    T = T.at[:, io, jo].set(off)
+    ar = jnp.arange(nt)
+    T = T.at[:, ar, ar].set(entry.diag)
+    return T.transpose(0, 1, 3, 2, 4).reshape(nf, u, u)
 
 
 def _factor_bucket(F, thresh, s_pad, pivoting=True):
@@ -487,7 +545,7 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
     side_data = []
     for pairs, poskey in ((bd.pairsL, "posL"), (bd.pairsR, "posR")):
         for (bk, uc, key) in pairs:
-            Cb = cb_list[bk]
+            Cb = _cb_dense(cb_list[bk])
             idx = a[key]
             selc = jnp.clip(idx, 0, max(Cb.shape[0] - 1, 0))
             C = Cb[selc] * (idx >= 0).astype(dtype)[:, None, None]
@@ -644,6 +702,11 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
             lr_algo=getattr(bp, "lr_algo", "rrqr"))
         out["blr"][key] = (lud, perms, Uu, Vu, Ul, Vl, Du, Dl)
         out["blr_ranks"][key] = rk
+        if getattr(bp, "cb_comp", 0) and CB.size:
+            # memory-efficient variant: hand the parent a BLR-compressed
+            # CB (FrontBLR F22blr_ role); extend-add densifies lazily
+            CB = _compress_cb(CB, bp.cb_comp, tol,
+                              max(bp.cb_comp // 4, 8))
     elif bp.hss or bp.hodlr or bp.hodbf:
         # HSS/HODLR/HODBF fronts (FrontHSS / FrontHODLR roles), batched
         # via vmap: compress + factor F11 (ULV / SMW), Schur
@@ -1053,7 +1116,13 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
     dtype = Avals.dtype
     rdt = jnp.real(jnp.zeros((), dtype)).dtype
     nbuckets = sum(len(l) for l in pdev.levels)
-    if nbuckets <= SPLIT_SOLVE_BUCKETS:
+    # HBM-budget degradation (FrontGPU split_smaller role,
+    # FrontGPU.cpp:490-496): a projected peak near the device limit
+    # switches to split-program mode (per-level-group dispatches let XLA
+    # free each group's working set) instead of faulting the chip
+    peak = factor_peak_bytes(pdev, jnp.dtype(dtype).itemsize)
+    fits_whole = peak <= 0.85 * hbm_budget_bytes()
+    if nbuckets <= SPLIT_SOLVE_BUCKETS and fits_whole:
         key = ("factor", dtype.name, spd, hss_tol, matmul_precision,
                pivoting)
         fn = pdev._jit_cache.get(key)
@@ -1126,6 +1195,51 @@ def _solve_bwd_levels(pdev, lis, arrays, fac_tree, ys, xext):
 # per-level programs: a single whole-solve program at 64^3 scale produces a
 # ~58 MB TPU program image that faults the device (instruction memory)
 SPLIT_SOLVE_BUCKETS = 40
+
+
+def hbm_budget_bytes() -> int:
+    """Device memory budget for the factorization planner (the role of
+    FrontGPU's available-device-memory check, FrontGPU.cpp:282-297).
+    Override with STRUMPACK_TPU_HBM_GB; falls back to the device's
+    reported limit, then to 16 GB (v5e)."""
+    env = os.environ.get("STRUMPACK_TPU_HBM_GB")
+    if env:
+        return int(float(env) * 1e9)
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * 10**9
+
+
+def factor_peak_bytes(pdev, itemsize: int) -> int:
+    """Analytic peak device bytes of the whole-program factorization:
+    accumulated factor storage plus the worst level's working set (front
+    buffers + previous level's CBs + this level's CBs).  The role of
+    FrontGPU::peak_device_memory (FrontGPU.cpp:282-297); conservative for
+    compressed buckets (counts them dense)."""
+    factors = pdev.plan.factor_nnz * itemsize
+    peak_ws = 0
+    prev_cb = 0
+    for lvl in pdev.levels:
+        fbytes = sum(bd.bp.nf * bd.bp.p * bd.bp.p for bd in lvl) * itemsize
+        cb = 0
+        for bd in lvl:
+            bp = bd.bp
+            u = bp.u_pad
+            if getattr(bp, "cb_comp", 0):
+                t = bp.cb_comp
+                nt = u // t
+                r = max(t // 4, 8)
+                cb += bp.nf * (nt * t * t + nt * (nt - 1) * 2 * t * r)
+            else:
+                cb += bp.nf * u * u
+        cb *= itemsize
+        peak_ws = max(peak_ws, fbytes + prev_cb + cb)
+        prev_cb = cb
+    return factors + peak_ws
 
 
 def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:

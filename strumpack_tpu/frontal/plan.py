@@ -110,6 +110,7 @@ class BucketPlan:
     adm_band: int = 0            # 0 = weak admissibility, 1 = strong
     blr_variant: str = "rl"      # "rl" eager / "ll" LUAR-accumulated
     lr_algo: str = "rrqr"        # tile compressor (LowRankAlgorithm role)
+    cb_comp: int = 0             # CB BLR tile size, 0 = dense CB (F22blr_)
     lossy: int = 0               # 0 = off, 8 = int8, 16 = bf16 storage
     hss: bool = False
     hodlr: bool = False
@@ -274,6 +275,11 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                                              "factor_algorithm", "rl")
                     bp.lr_algo = getattr(compression.blr,
                                          "low_rank_algorithm", "rrqr")
+                    # memory-efficient variant: BLR-compressed CBs
+                    # (FrontBLR F22blr_ role) for big update blocks
+                    if (getattr(compression.blr, "cb_compression", False)
+                            and up >= 128 and up % 64 == 0):
+                        bp.cb_comp = 64
                 elif eff == CT.LOSSY:
                     bp.lossy = getattr(compression, "lossy_precision", 16)
                 elif eff in (CT.HSS, CT.HODLR, CT.HODBF):

@@ -85,30 +85,47 @@ class Kernel:
 
     # ---- fitting ------------------------------------------------------
     def fit_HSS(self, X, y, leaf_size=128, max_rank=None, rel_tol=1e-4,
-                cluster_leaf=64):
+                cluster_leaf=64, matrix_free=None):
+        """matrix_free=None auto-enables the sampling-based compression
+        (never materializes the n x n kernel matrix) above n=8192."""
         return self._fit(X, y, "hss", leaf_size, max_rank, rel_tol,
-                         cluster_leaf)
+                         cluster_leaf, matrix_free=matrix_free)
 
     def fit_HODLR(self, X, y, leaf_size=128, max_rank=None, rel_tol=1e-4,
                   cluster_leaf=64):
         return self._fit(X, y, "hodlr", leaf_size, max_rank, rel_tol,
                          cluster_leaf)
 
-    def _fit(self, X, y, fmt, leaf_size, max_rank, rel_tol, cluster_leaf):
+    def eval_pairs(self, Xi, Xj):
+        """Elementwise kernel k(Xi[..., :], Xj[..., :]) for broadcastable
+        point arrays [..., d] — the element-extraction closure of the
+        matrix-free fit (reference: per-entry kernel evaluation in
+        HSS/HSSMatrix.compress_kernel.hpp)."""
+        raise NotImplementedError
+
+    def _fit(self, X, y, fmt, leaf_size, max_rank, rel_tol, cluster_leaf,
+             matrix_free=None, dtype=np.float32):
         X = np.asarray(X, np.float64)
         y = np.asarray(y, np.float64)
+        n = len(X)
         order = recursive_pca_order(X, leaf=cluster_leaf)
         Xo = X[order]
-        K = np.asarray(self.eval(Xo, Xo))
-        K = K + self.lam * np.eye(len(Xo))
-        if fmt == "hss":
-            from ..structured.hss import HSSMatrix
-            M = HSSMatrix(jnp.asarray(K), leaf_size=leaf_size,
-                          max_rank=max_rank, rel_tol=rel_tol)
+        if matrix_free is None:
+            matrix_free = fmt == "hss" and n > 8192
+        if matrix_free and fmt == "hss":
+            M = self._compress_matrix_free(Xo, leaf_size, max_rank,
+                                           rel_tol, dtype=dtype)
         else:
-            from ..structured.hodlr import HODLRMatrix
-            M = HODLRMatrix(jnp.asarray(K), leaf_size=leaf_size,
-                            max_rank=max_rank, rel_tol=rel_tol)
+            K = np.asarray(self.eval(Xo, Xo))
+            K = K + self.lam * np.eye(len(Xo))
+            if fmt == "hss":
+                from ..structured.hss import HSSMatrix
+                M = HSSMatrix(jnp.asarray(K), leaf_size=leaf_size,
+                              max_rank=max_rank, rel_tol=rel_tol)
+            else:
+                from ..structured.hodlr import HODLRMatrix
+                M = HODLRMatrix(jnp.asarray(K), leaf_size=leaf_size,
+                                max_rank=max_rank, rel_tol=rel_tol)
         M.factor()
         w = np.asarray(M.solve(jnp.asarray(y[order])))
         self._Xtrain = Xo
@@ -116,6 +133,48 @@ class Kernel:
         self._order = order
         self._M = M
         return w
+
+    def _compress_matrix_free(self, Xo, leaf_size, max_rank, rel_tol,
+                              dtype=np.float32, block=1024):
+        """HSS compression of K + lam*I WITHOUT materializing K
+        (the reference's matrix-free kernel compression,
+        HSS/HSSMatrix.compress_kernel.hpp / kernel/Kernel.hpp:189): the
+        sampling constructor gets (a) a matvec closure evaluating
+        K(tile, X) @ V in row tiles — O(n * block) memory — and (b) an
+        element closure evaluating single kernel entries; clustering has
+        already made index-contiguous blocks spatial neighborhoods, so
+        the off-diagonal ranks are as low as ANN-based compression
+        achieves."""
+        from ..structured.hss_sample import hss_from_sampling
+        n, d = Xo.shape
+        dt = jnp.dtype(dtype)
+        Xd = jnp.asarray(Xo, dt)
+        lam = jnp.asarray(self.lam, dt)
+        nb = -(-n // block)
+        npad = nb * block
+        Xp = jnp.concatenate(
+            [Xd, jnp.full((npad - n, d), jnp.inf, dt)]).reshape(
+                nb, block, d)
+
+        def mult(V, trans):
+            # K is symmetric: K @ V == K^T @ V; row tiles keep the
+            # [block, n] kernel panel as the only O(n)-width temporary
+            def tile(xb):
+                Kb = self.eval(xb, Xd).astype(dt)
+                Kb = jnp.where(jnp.isfinite(Kb), Kb, 0.0)
+                return jnp.matmul(Kb, V, preferred_element_type=dt)
+            out = jax.lax.map(tile, Xp).reshape(npad, -1)[:n]
+            return out + lam * V
+
+        def elem(I, J):
+            I2, J2 = jnp.broadcast_arrays(jnp.asarray(I), jnp.asarray(J))
+            v = self.eval_pairs(Xd[I2], Xd[J2]).astype(dt)
+            return v + lam * (I2 == J2).astype(dt)
+
+        r = int(max_rank) if max_rank else max(16, int(leaf_size) // 2)
+        return hss_from_sampling(mult, elem, n, leaf_size=int(leaf_size),
+                                 max_rank=r, oversample=16,
+                                 rel_tol=rel_tol, dtype=dt)
 
     def predict(self, Xtest, weights=None, block=4096):
         """K(test, train) @ weights, tiled (kernel/Kernel.hpp:203)."""
@@ -135,6 +194,10 @@ class GaussKernel(Kernel):
     def eval(self, X, Y):
         return jnp.exp(-self._sqdist(X, Y) / (2.0 * self.h * self.h))
 
+    def eval_pairs(self, Xi, Xj):
+        d2 = jnp.sum((Xi - Xj) ** 2, axis=-1)
+        return jnp.exp(-d2 / (2.0 * self.h * self.h))
+
 
 class LaplaceKernel(Kernel):
     """exp(-|x-y|_1 / h) (Kernel.hpp:378)."""
@@ -144,6 +207,9 @@ class LaplaceKernel(Kernel):
         Y = jnp.asarray(Y)
         d1 = jnp.sum(jnp.abs(X[:, None, :] - Y[None, :, :]), axis=-1)
         return jnp.exp(-d1 / self.h)
+
+    def eval_pairs(self, Xi, Xj):
+        return jnp.exp(-jnp.sum(jnp.abs(Xi - Xj), axis=-1) / self.h)
 
 
 class ANOVAKernel(Kernel):
@@ -158,6 +224,10 @@ class ANOVAKernel(Kernel):
         Y = jnp.asarray(Y)
         ker = jnp.exp(-((X[:, None, :] - Y[None, :, :]) ** 2)
                       / (2.0 * self.h * self.h))
+        return jnp.sum(ker, axis=-1) ** self.p
+
+    def eval_pairs(self, Xi, Xj):
+        ker = jnp.exp(-((Xi - Xj) ** 2) / (2.0 * self.h * self.h))
         return jnp.sum(ker, axis=-1) ** self.p
 
 

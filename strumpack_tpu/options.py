@@ -105,6 +105,10 @@ class BLROptions:
     # "aca", "baca", or "svd" (tightest ranks, heavy to compile on TPU)
     low_rank_algorithm: str = "rrqr"
     baca_blocksize: int = 4
+    # keep contribution blocks (F22) BLR-compressed between levels — the
+    # memory-efficient variant (FrontBLR.cpp:69 build_front_cols /
+    # F22blr_): peak factor memory drops from the dense multifrontal's
+    cb_compression: bool = False
 
 
 @dataclass
@@ -285,6 +289,8 @@ class SPOptions:
                 ("separator_reordering", False),
             "sp_enable_adaptive_rank": ("adaptive_rank", True),
             "sp_disable_adaptive_rank": ("adaptive_rank", False),
+            "blr_enable_cb_compression": (("blr", "cb_compression"), True),
+            "blr_disable_cb_compression": (("blr", "cb_compression"), False),
         }
         hss_bool = {
             "hss_enable_sampling": True,
@@ -313,7 +319,10 @@ class SPOptions:
                 name, val = name.split("=", 1)
             if name in bool_flags:
                 attr, v = bool_flags[name]
-                setattr(self, attr, v)
+                if isinstance(attr, tuple):
+                    setattr(getattr(self, attr[0]), attr[1], v)
+                else:
+                    setattr(self, attr, v)
             elif name in hss_bool:
                 self.hss.sampling = hss_bool[name]
             elif name == "blr_admissibility":

@@ -302,6 +302,9 @@ class SparseSolver:
             print(f"#   - factor time = {self.times['factor']:.4f}")
             print(f"#   - factor nonzeros = {self.plan.factor_nnz}")
             print(f"#   - factor memory = {fmem/1e6:.3f} MB")
+            peak = numeric.factor_peak_bytes(
+                self.pdev, np.dtype(opts.factor_dtype).itemsize)
+            print(f"#   - factor peak memory = {peak/1e6:.3f} MB")
             if opts.compression != CompressionType.NONE and dense_mem:
                 print(f"#   - factor memory/nonzeros = "
                       f"{100.0*fmem/dense_mem:.1f} %")

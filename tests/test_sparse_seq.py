@@ -695,3 +695,45 @@ def test_adaptive_rank_restart():
     assert s0.fac.rank_saturated()
     assert res_adapt < ERROR_TOL * 1e-8, res_adapt
     assert res_adapt < res_fixed / 10, (res_fixed, res_adapt)
+
+
+def test_blr_compressed_cb_and_hbm_budget(monkeypatch):
+    """Memory-scalable fronts (VERDICT items: FrontBLR F22blr_ +
+    FrontGPU split_smaller roles): BLR-compressed contribution blocks
+    complete within the residual contract with lower projected peak
+    memory, and a tiny HBM budget degrades to split-program mode instead
+    of crashing."""
+    from strumpack_tpu.frontal import numeric
+    A = poisson3d(16)
+    b = A.spmv(np.ones(A.n))
+    peaks = {}
+    for cbc in (False, True):
+        opts = SPOptions(compression=CompressionType.BLR,
+                         compression_min_sep_size=64,
+                         krylov_solver=KrylovSolver.PREC_GMRES,
+                         rel_tol=1e-6)
+        opts.blr.rel_tol = 1e-5
+        opts.blr.cb_compression = cbc
+        s = SparseSolver(opts)
+        s.set_csr_matrix(A)
+        assert s.reorder(16, 16, 16) == ReturnCode.SUCCESS
+        x, rc = s.solve(b)
+        assert rc == ReturnCode.SUCCESS
+        assert A.max_scaled_residual(x, b) < ERROR_TOL * opts.rel_tol
+        peaks[cbc] = numeric.factor_peak_bytes(s.pdev, 8)
+    assert peaks[True] <= peaks[False]
+    # CLI flag parses
+    o = SPOptions()
+    assert o.set_from_command_line(["--blr_enable_cb_compression"]) == []
+    assert o.blr.cb_compression is True
+
+    # HBM-budget degradation: whole-program peak over budget -> split
+    # mode, same answer
+    monkeypatch.setenv("STRUMPACK_TPU_HBM_GB", "0.01")
+    opts = SPOptions(krylov_solver=KrylovSolver.DIRECT)
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    assert s.reorder(16, 16, 16) == ReturnCode.SUCCESS
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) < 1e-12

@@ -278,3 +278,28 @@ def test_hodbf_oscillatory_matvec_and_solve():
     relx = np.linalg.norm(xs - x) / np.linalg.norm(x)
     assert relx < 1e-5, relx
     assert S.rank() > 0 and S.memory() > 0
+
+
+def test_kernel_matrix_free_fit():
+    """Matrix-free kernel fit (HSS/HSSMatrix.compress_kernel.hpp role):
+    the n x n kernel matrix is never materialized — the sampling
+    constructor consumes a tiled matvec closure + per-entry evaluation.
+    On a compressible (2-D) kernel the matrix-free weights reproduce the
+    dense-built fit."""
+    import numpy as np
+    from strumpack_tpu.kernel.kernel import GaussKernel
+    rng = np.random.default_rng(1)
+    n = 1200
+    X = rng.standard_normal((n, 2))
+    y = np.sin(X[:, 0]) + 0.5 * np.cos(2 * X[:, 1])
+    kd = GaussKernel(h=1.0, lam=0.5)
+    kd.fit_HSS(X, y, leaf_size=128, rel_tol=1e-8, matrix_free=False)
+    pd = kd.predict(X[:200])
+    km = GaussKernel(h=1.0, lam=0.5)
+    km.fit_HSS(X, y, leaf_size=128, rel_tol=1e-8, matrix_free=True)
+    pm = km.predict(X[:200])
+    rel = np.linalg.norm(pd - pm) / np.linalg.norm(pd)
+    # matrix-free compresses in f32 (the TPU dtype); dense test path is f64
+    assert rel < 5e-3, rel
+    # regression quality itself
+    assert np.linalg.norm(pd - y[:200]) / np.linalg.norm(y[:200]) < 0.3
