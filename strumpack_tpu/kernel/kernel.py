@@ -105,6 +105,16 @@ class Kernel:
 
     def _fit(self, X, y, fmt, leaf_size, max_rank, rel_tol, cluster_leaf,
              matrix_free=None, dtype=np.float32):
+        # TPU's default-precision matmuls are bf16 — ruinous for the
+        # compression/ULV numerics (same trap as the sparse solver,
+        # PERF.md); pin full f32 MXU passes for the whole fit
+        with jax.default_matmul_precision("float32"):
+            return self._fit_inner(X, y, fmt, leaf_size, max_rank,
+                                   rel_tol, cluster_leaf, matrix_free,
+                                   dtype)
+
+    def _fit_inner(self, X, y, fmt, leaf_size, max_rank, rel_tol,
+                   cluster_leaf, matrix_free, dtype):
         X = np.asarray(X, np.float64)
         y = np.asarray(y, np.float64)
         n = len(X)
@@ -182,9 +192,10 @@ class Kernel:
         Xtr = jnp.asarray(self._Xtrain)
         Xtest = np.asarray(Xtest, np.float64)
         outs = []
-        for lo in range(0, len(Xtest), block):
-            Kb = self.eval(jnp.asarray(Xtest[lo:lo + block]), Xtr)
-            outs.append(np.asarray(Kb @ w))
+        with jax.default_matmul_precision("float32"):
+            for lo in range(0, len(Xtest), block):
+                Kb = self.eval(jnp.asarray(Xtest[lo:lo + block]), Xtr)
+                outs.append(np.asarray(Kb @ w))
         return np.concatenate(outs)
 
 

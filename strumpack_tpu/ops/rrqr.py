@@ -59,10 +59,32 @@ def rrqr(T, tol, r):
         pv = pv.at[:, k].set(nrm)
         return R, U, V, pv
 
-    U0 = jnp.zeros((N, m, r), dt)
-    V0 = jnp.zeros((N, r, n), dt)
-    pv0 = jnp.zeros((N, r), rdt)
-    _, U, V, pv = jax.lax.fori_loop(0, r, body, (Tf, U0, V0, pv0))
+    if r <= 128:
+        # statically unrolled: XLA while-loop iterations are host-stepped
+        # on this platform (~0.65 ms each through the tunnel, PERF.md), so
+        # the r-step loop unrolls into straight-line batched ops
+        R = Tf
+        qs, vs, pvs = [], [], []
+        for _ in range(r):
+            cn = jnp.sqrt(jnp.sum(jnp.abs(R) ** 2, axis=-2))
+            j = jnp.argmax(cn, axis=-1)
+            nrm = jnp.take_along_axis(cn, j[:, None], -1)[:, 0]
+            q = jnp.take_along_axis(R, j[:, None, None], -1)[..., 0]
+            q = q / jnp.where(nrm > 0, nrm, 1.0).astype(dt)[:, None]
+            v = jnp.einsum("bm,bmn->bn", jnp.conj(q), R,
+                           preferred_element_type=dt)
+            R = R - q[:, :, None] * v[:, None, :]
+            qs.append(q)
+            vs.append(v)
+            pvs.append(nrm)
+        U = jnp.stack(qs, axis=-1)
+        V = jnp.stack(vs, axis=1)
+        pv = jnp.stack(pvs, axis=-1)
+    else:
+        U0 = jnp.zeros((N, m, r), dt)
+        V0 = jnp.zeros((N, r, n), dt)
+        pv0 = jnp.zeros((N, r), rdt)
+        _, U, V, pv = jax.lax.fori_loop(0, r, body, (Tf, U0, V0, pv0))
     # geqp3tol semantics: keep columns while |R[k,k]| > rtol * |R[0,0]|
     # (monotone in exact arithmetic; enforce with a running cummax guard
     # against FP noise in the tail)

@@ -85,6 +85,100 @@ def sharded_blocked_lu(A, mesh: Mesh, blk: int = 256, thresh=0.0):
     return A, jnp.stack(perms)
 
 
+def sharded_blocked_lu_pivoted(A, mesh: Mesh, blk: int = 256, thresh=0.0):
+    """Blocked LU of A [m, m] sharded over ('r', 'c') with FULL partial
+    pivoting across panels — the ScaLAPACK pgetrf semantics of the
+    reference's distributed dense front (FrontDenseMPI.cpp:150-205).
+    Each step factors the whole [m-o, blk] column panel with row pivoting
+    over its full height, applies the row permutation to the ENTIRE
+    matrix (left factored columns included, LAPACK getrf row-swap
+    semantics), then does the sharded row-panel trsm and trailing-matrix
+    update.  Returns (LU [m, m] of P A, perm [m] applied form: row i of
+    P A is row perm[i] of A)."""
+    m = A.shape[0]
+    assert m % blk == 0
+    nb = m // blk
+    shard = _c(mesh, "r", "c")
+    repl = _c(mesh)
+    A = shard(A)
+    perm = jnp.arange(m)
+    for k in range(nb):
+        o = k * blk
+        pan = repl(jax.lax.dynamic_slice(A, (o, o), (m - o, blk)))
+        lu_p, _, pp = jax.lax.linalg.lu(pan)
+        d = jnp.diagonal(lu_p)[:blk]
+        dr = jnp.where(jnp.abs(d) < thresh,
+                       jnp.where(d == 0, thresh,
+                                 jnp.sign(d.real).astype(d.dtype) * thresh),
+                       d)
+        lu_p = lu_p.at[jnp.arange(blk), jnp.arange(blk)].set(dr)
+        pj = jnp.concatenate([jnp.arange(o), o + pp])
+        A = shard(jnp.take(A, pj, axis=0))
+        perm = jnp.take(perm, pj)
+        A = jax.lax.dynamic_update_slice(A, lu_p, (o, o))
+        if k < nb - 1:
+            lu_dd = repl(lu_p[:blk])
+            rowp = jax.lax.dynamic_slice(A, (o, o + blk),
+                                         (blk, m - o - blk))
+            rowp = _c(mesh, None, "c")(rowp)
+            rowp = jax.lax.linalg.triangular_solve(
+                lu_dd, rowp, left_side=True, lower=True,
+                unit_diagonal=True)
+            rowp = _c(mesh, None, "c")(rowp)
+            colp = _c(mesh, "r", None)(lu_p[blk:])
+            trail = jax.lax.dynamic_slice(A, (o + blk, o + blk),
+                                          (m - o - blk, m - o - blk))
+            trail = shard(trail) - _c(mesh, "r", "c")(jnp.matmul(
+                colp, rowp, preferred_element_type=A.dtype))
+            A = jax.lax.dynamic_update_slice(A, rowp, (o, o + blk))
+            A = jax.lax.dynamic_update_slice(A, trail, (o + blk, o + blk))
+        A = shard(A)
+    return A, perm
+
+
+def sharded_lu_solve_pivoted(LU, perm, b, mesh: Mesh, blk: int = 256):
+    """Solve with sharded_blocked_lu_pivoted factors: permute b by the
+    composed row permutation, then plain block forward/backward sweeps
+    (no per-block permutations — the rows are physically permuted)."""
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    b = jnp.take(b.astype(LU.dtype), perm, axis=0)
+    m = LU.shape[0]
+    nb = m // blk
+    repl = _c(mesh)
+    b = repl(b)
+    for k in range(nb):
+        o = k * blk
+        bk = jax.lax.dynamic_slice(b, (o, 0), (blk, b.shape[1]))
+        diag = repl(jax.lax.dynamic_slice(LU, (o, o), (blk, blk)))
+        yk = jax.lax.linalg.triangular_solve(
+            diag, bk, left_side=True, lower=True, unit_diagonal=True)
+        b = jax.lax.dynamic_update_slice(b, yk, (o, 0))
+        if k < nb - 1:
+            Lbelow = repl(jax.lax.dynamic_slice(
+                LU, (o + blk, o), (m - o - blk, blk)))
+            rest = jax.lax.dynamic_slice(b, (o + blk, 0),
+                                         (m - o - blk, b.shape[1]))
+            rest = rest - jnp.matmul(Lbelow, yk,
+                                     preferred_element_type=LU.dtype)
+            b = jax.lax.dynamic_update_slice(b, rest, (o + blk, 0))
+    for k in range(nb - 1, -1, -1):
+        o = k * blk
+        bk = jax.lax.dynamic_slice(b, (o, 0), (blk, b.shape[1]))
+        diag = repl(jax.lax.dynamic_slice(LU, (o, o), (blk, blk)))
+        xk = jax.lax.linalg.triangular_solve(
+            diag, bk, left_side=True, lower=False)
+        b = jax.lax.dynamic_update_slice(b, xk, (o, 0))
+        if k > 0:
+            Uabove = repl(jax.lax.dynamic_slice(LU, (0, o), (o, blk)))
+            top = jax.lax.dynamic_slice(b, (0, 0), (o, b.shape[1]))
+            top = top - jnp.matmul(Uabove, xk,
+                                   preferred_element_type=LU.dtype)
+            b = jax.lax.dynamic_update_slice(b, top, (0, 0))
+    return b[:, 0] if squeeze else b
+
+
 def sharded_lu_solve(LU, perms, b, mesh: Mesh, blk: int = 256):
     """Solve with the blocked-LU factors: block forward/backward sweeps.
     b [m] or [m, k] replicated; LU sharded P('r','c')."""

@@ -351,8 +351,9 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
                         F, cb_loc, ag["posR"], bd.pairsR, ag,
                         pallas_ok=(nb == 1))
                 blk = _blk_2d(bp.s_pad)
-                from .dist2d import sharded_blocked_lu
-                LU2, perms2 = sharded_blocked_lu(F[0], mesh, blk, th)
+                from .dist2d import sharded_blocked_lu_pivoted
+                LU2, perms2 = sharded_blocked_lu_pivoted(F[0], mesh, blk,
+                                                         th)
                 root[(li, bi)] = (LU2, perms2, blk)
 
         bext = jnp.concatenate([b2, jnp.zeros((1, nrhs), dtype)], axis=0)
@@ -363,7 +364,8 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
 
         xext = jnp.zeros((n + 1, nrhs), dtype)
         for (li, bi), (LU2, perms2, blk) in root.items():
-            from .dist2d import sharded_lu_solve
+            from .dist2d import sharded_lu_solve_pivoted as \
+                sharded_lu_solve
             bd = pdev.levels[li][bi]
             ag = arrays_g[f"{li},{bi}"]
             bloc = bext[ag["sep_glob"]]          # [1, s_pad, nrhs]

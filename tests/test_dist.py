@@ -261,3 +261,27 @@ def test_multihost_two_processes():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"MHOK {i}" in out, f"proc {i} missing OK:\n{out}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_blocked_lu_cross_panel_pivoting():
+    """ScaLAPACK-pgetrf-style FULL partial pivoting across panels
+    (FrontDenseMPI.cpp:150-205 role): a matrix whose leading diagonal
+    block is singular requires row swaps from below the first panel —
+    the per-diagonal-block pivoting of the unpivoted path cannot solve
+    it."""
+    from strumpack_tpu.parallel.dist2d import (sharded_blocked_lu_pivoted,
+                                               sharded_lu_solve_pivoted)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("r", "c"))
+    rng = np.random.default_rng(1)
+    m, blk = 256, 64
+    A = rng.standard_normal((m, m))
+    A[:blk, :blk] = 0.0          # cross-panel pivots are mandatory
+    xex = rng.standard_normal(m)
+    b = A @ xex
+    with mesh:
+        LU, perm = jax.jit(lambda A: sharded_blocked_lu_pivoted(
+            jnp.asarray(A), mesh, blk, 0.0))(A)
+        x = jax.jit(lambda LU, p, b: sharded_lu_solve_pivoted(
+            LU, p, jnp.asarray(b), mesh, blk))(LU, perm, b)
+    assert np.linalg.norm(np.asarray(x) - xex) / np.linalg.norm(xex) < 1e-8
