@@ -12,6 +12,7 @@ from .options import (BLROptions, CompressionType, EquilibrationType,
                       ReorderingStrategy, SPOptions)
 from .solver import SparseSolver
 from .sparse.csr import CSRMatrix
+from .utils import params
 from .utils.params import ReturnCode
 
 # structured dense API (structured::StructuredMatrix facade)

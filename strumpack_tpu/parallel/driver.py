@@ -22,6 +22,29 @@ from ..solver import SparseSolver
 from ..utils.params import ReturnCode
 
 
+def _allgather_blocks(block):
+    """Allgather (begin_row, counts, colind, vals) row blocks across
+    processes (ragged sizes padded to the max, then trimmed)."""
+    from jax.experimental import multihost_utils as mh
+    begin, counts, colind, vals = block
+    meta = np.array([begin, len(counts), len(colind)], np.int64)
+    metas = np.asarray(mh.process_allgather(meta)).reshape(-1, 3)
+    mc = int(metas[:, 1].max())
+    mn = int(metas[:, 2].max())
+
+    def padto(a, m):
+        out = np.zeros((m,) + a.shape[1:], a.dtype)
+        out[:len(a)] = a
+        return out
+
+    cs = np.asarray(mh.process_allgather(padto(counts, mc)))
+    cols = np.asarray(mh.process_allgather(padto(colind, mn)))
+    vs = np.asarray(mh.process_allgather(padto(vals, mn)))
+    return [(int(metas[p, 0]), cs[p, :metas[p, 1]],
+             cols[p, :metas[p, 2]], vs[p, :metas[p, 2]])
+            for p in range(len(metas))]
+
+
 class DistributedSparseSolver(SparseSolver):
     """SparseSolver variant executing the numeric phases over a mesh.
 
@@ -33,6 +56,62 @@ class DistributedSparseSolver(SparseSolver):
         super().__init__(opts, verbose)
         self.mesh = mesh
         self._step = None
+
+    # -- distributed input (CSRMatrixMPI role) --------------------------
+    def set_distributed_csr_matrix(self, local_rowptr, local_colind,
+                                   local_vals, begin_row, n):
+        """Block-row distributed input, the reference's
+        ``SparseSolverMPIDist::set_distributed_csr_matrix``
+        (StrumpackSparseSolverMPIDist.hpp:185): each process passes its
+        contiguous block of rows (local_rowptr is the local [nrows+1]
+        pointer, column indices GLOBAL).  The blocks are allgathered and
+        assembled into the global CSR for the host symbolic phase (the
+        host plans globally; the numeric phases shard over the mesh)."""
+        import jax
+        local_rowptr = np.asarray(local_rowptr, np.int64)
+        counts = np.diff(local_rowptr)
+        rows = [(int(begin_row), counts,
+                 np.asarray(local_colind, np.int64),
+                 np.asarray(local_vals))]
+        if jax.process_count() > 1:
+            rows = _allgather_blocks(rows[0])
+        rows.sort(key=lambda t: t[0])
+        all_counts = np.concatenate([r[1] for r in rows])
+        assert len(all_counts) == n, (len(all_counts), n)
+        rowptr = np.concatenate([[0], np.cumsum(all_counts)])
+        colind = np.concatenate([r[2] for r in rows])
+        vals = np.concatenate([r[3] for r in rows])
+        from ..sparse.csr import CSRMatrix
+        self.set_csr_matrix(CSRMatrix(n, rowptr, colind, vals))
+
+    def set_MPIAIJ_matrix(self, n_local, d_rowptr, d_colind, d_vals,
+                          o_rowptr, o_colind, o_vals, garray, begin_row,
+                          n):
+        """PETSc MPIAIJ split input (SparseSolverMPIDist
+        ``set_MPIAIJ_matrix`` role, StrumpackSparseSolverMPIDist.hpp:195):
+        the diagonal block carries LOCAL column indices, the off-diagonal
+        block compressed global columns through ``garray``."""
+        d_rowptr = np.asarray(d_rowptr, np.int64)
+        o_rowptr = np.asarray(o_rowptr, np.int64)
+        garray = np.asarray(garray, np.int64)
+        rp = [0]
+        ci, vv = [], []
+        for i in range(n_local):
+            dc = np.asarray(d_colind[d_rowptr[i]:d_rowptr[i + 1]],
+                            np.int64) + begin_row
+            oc = garray[np.asarray(o_colind[o_rowptr[i]:o_rowptr[i + 1]],
+                                   np.int64)]
+            dv = np.asarray(d_vals[d_rowptr[i]:d_rowptr[i + 1]])
+            ov = np.asarray(o_vals[o_rowptr[i]:o_rowptr[i + 1]])
+            c = np.concatenate([dc, oc])
+            v = np.concatenate([dv, ov])
+            srt = np.argsort(c, kind="stable")
+            ci.append(c[srt])
+            vv.append(v[srt])
+            rp.append(rp[-1] + len(c))
+        self.set_distributed_csr_matrix(
+            np.asarray(rp, np.int64), np.concatenate(ci),
+            np.concatenate(vv), begin_row, n)
 
     def factor(self) -> ReturnCode:
         # numeric factorization happens fused with the solve step under the

@@ -294,6 +294,18 @@ class SparseSolver:
         device_sync(self.fac.tree)
         self._factored = True
         self.times["factor"] = time.perf_counter() - t0
+        # global runtime counters (strumpack::params role,
+        # StrumpackParameters.hpp:71-110): analytic flops from the static
+        # plan (exact for dense, upper bound for compressed), measured
+        # factor memory, projected peak device bytes
+        from .utils.params import counters
+        counters.flops += self.plan.factor_flops
+        counters.factor_nonzeros = self.plan.factor_nnz
+        counters.factor_memory = self.fac.factor_memory()
+        counters.peak_device_bytes = max(
+            counters.peak_device_bytes,
+            numeric.factor_peak_bytes(
+                self.pdev, np.dtype(opts.factor_dtype).itemsize))
         if opts.verbose:
             gfs = self.plan.factor_flops / max(self.times["factor"], 1e-12) / 1e9
             fmem = self.fac.factor_memory()
@@ -535,6 +547,12 @@ class SparseSolver:
 
         x = self._transform_x(xp)
         self.times["solve"] = time.perf_counter() - t0
+        # solve-phase flop counter: per iteration one spmv (2 nnz) + one
+        # preconditioner application (2 factor_nnz) per rhs
+        from .utils.params import counters
+        nrhs = 1 if np.ndim(b) == 1 else np.shape(b)[1]
+        counters.flops += self.its * nrhs * 2 * (
+            self.A.nnz + self.plan.factor_nnz)
         if opts.verbose:
             print(f"#   - solve time = {self.times['solve']:.4f}, "
                   f"iterations = {self.its}")

@@ -39,7 +39,15 @@ A = poisson2d(24)
 opts = SPOptions(krylov_solver=KrylovSolver.DIRECT, factor_dtype="float64",
                  refine_dtype="float64")
 s = DistributedSparseSolver(mesh, opts)
-s.set_csr_matrix(A)
+# distributed block-row input (set_distributed_csr_matrix role): each
+# process passes only ITS contiguous rows; the driver allgathers
+half = A.n // 2
+lo, hi = (0, half) if pid == 0 else (half, A.n)
+lrp = A.rowptr[lo:hi + 1] - A.rowptr[lo]
+lci = A.colind[A.rowptr[lo]:A.rowptr[hi]]
+lv = A.data[A.rowptr[lo]:A.rowptr[hi]]
+s.set_distributed_csr_matrix(lrp, lci, lv, lo, A.n)
+assert s.A.nnz == A.nnz
 s.reorder(24, 24)
 rng = np.random.default_rng(0)
 xex = rng.standard_normal(A.n)

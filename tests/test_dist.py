@@ -285,3 +285,48 @@ def test_sharded_blocked_lu_cross_panel_pivoting():
         x = jax.jit(lambda LU, p, b: sharded_lu_solve_pivoted(
             LU, p, jnp.asarray(b), mesh, blk))(LU, perm, b)
     assert np.linalg.norm(np.asarray(x) - xex) / np.linalg.norm(xex) < 1e-8
+
+
+def test_mpiaij_input_single_process():
+    """PETSc MPIAIJ split input (set_MPIAIJ_matrix role) reassembles the
+    CSR exactly in single-process mode (n_local = n)."""
+    from strumpack_tpu.parallel.driver import DistributedSparseSolver
+    from strumpack_tpu import SPOptions
+    A, Ap, perm, pdev = _problem(nx=10, leaf=4)
+    n = A.n
+    # build diag/offdiag split with a fake 2-block partition [0, n2), [n2, n)
+    n2 = n // 2
+    drp, dci, dv = [0], [], []
+    orp, oci, ov = [0], [], []
+    gset = {}
+    for i in range(n2):
+        for p in range(A.rowptr[i], A.rowptr[i + 1]):
+            j, v = int(A.colind[p]), A.data[p]
+            if j < n2:
+                dci.append(j)
+                dv.append(v)
+            else:
+                gset.setdefault(j, len(gset))
+                oci.append(gset[j])
+                ov.append(v)
+        drp.append(len(dci))
+        orp.append(len(oci))
+    garray = np.array(sorted(gset, key=gset.get), dtype=np.int64)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("b",))
+    s = DistributedSparseSolver(mesh, SPOptions())
+    # single process: the "local" block must be all rows; emulate by
+    # concatenating the second half as plain rows through the same API
+    lrp2 = A.rowptr[n2:] - A.rowptr[n2]
+    full_rp = np.concatenate([np.array(drp)[:-1] + np.array(orp)[:-1],
+                              A.rowptr[n2:] - A.rowptr[n2]
+                              + (drp[-1] + orp[-1])])
+    # simpler equivalence check: MPIAIJ for the FULL matrix with an
+    # identity off-diag partition (everything in the diagonal block)
+    s.set_MPIAIJ_matrix(n, A.rowptr, A.colind, A.data,
+                        np.zeros(n + 1, np.int64), np.zeros(0, np.int64),
+                        np.zeros(0), np.zeros(0, np.int64), 0, n)
+    assert s.A.nnz == A.nnz
+    b = A.spmv(np.ones(n))
+    x, rc = s.solve(b)
+    assert rc.name == "SUCCESS"
+    assert A.max_scaled_residual(x, b) < 1e-10
