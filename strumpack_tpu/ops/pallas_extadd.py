@@ -53,8 +53,12 @@ CH = 64  # parent-slot chunk (rows of one grid step; MXU tile fraction)
 
 def _supports(p: int, u: int, dtype=None) -> bool:
     """Authoritative shape/dtype gate for the kernel (the plan-time caller
-    passes dtype=None: dtype is only known at trace time)."""
+    passes dtype=None: dtype is only known at trace time).  The child CB
+    block [u, u] must fit VMEM with double buffering — u=1536 blew the
+    24 MB scoped-vmem limit at 50^3 (the gather path serves huge
+    children)."""
     return (p % CH == 0 and u >= CH and u % 8 == 0
+            and u * u * 4 * 2 <= 14 * 2**20
             and (dtype is None or jnp.dtype(dtype) == jnp.float32))
 
 

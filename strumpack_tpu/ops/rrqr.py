@@ -59,10 +59,9 @@ def rrqr(T, tol, r):
         pv = pv.at[:, k].set(nrm)
         return R, U, V, pv
 
-    if r <= 128:
-        # statically unrolled: XLA while-loop iterations are host-stepped
-        # on this platform (~0.65 ms each through the tunnel, PERF.md), so
-        # the r-step loop unrolls into straight-line batched ops
+    if r <= 16:
+        # fully unrolled: XLA while-loop iterations are host-stepped on
+        # this platform (~0.65 ms each through the tunnel, PERF.md)
         R = Tf
         qs, vs, pvs = [], [], []
         for _ in range(r):
@@ -81,10 +80,26 @@ def rrqr(T, tol, r):
         V = jnp.stack(vs, axis=1)
         pv = jnp.stack(pvs, axis=-1)
     else:
-        U0 = jnp.zeros((N, m, r), dt)
-        V0 = jnp.zeros((N, r, n), dt)
-        pv0 = jnp.zeros((N, r), rdt)
-        _, U, V, pv = jax.lax.fori_loop(0, r, body, (Tf, U0, V0, pv0))
+        # chunk-unrolled fori_loop: 8 static steps per loop iteration cut
+        # the host-stepped round-trips 8x while keeping the program ~8x
+        # smaller than a full unroll (a fully unrolled r=128 RRQR per BLR
+        # tile SIGKILLed the 50^3 remote compile)
+        CH = 8
+        rr = -(-r // CH) * CH
+
+        def chunk(it, st):
+            R, U, V, pv = st
+            for i in range(CH):
+                k = it * CH + i
+                R, U, V, pv = body(k, (R, U, V, pv))
+            return R, U, V, pv
+
+        U0 = jnp.zeros((N, m, rr), dt)
+        V0 = jnp.zeros((N, rr, n), dt)
+        pv0 = jnp.zeros((N, rr), rdt)
+        _, U, V, pv = jax.lax.fori_loop(0, rr // CH, chunk,
+                                        (Tf, U0, V0, pv0))
+        U, V, pv = U[:, :, :r], V[:, :r, :], pv[:, :r]
     # geqp3tol semantics: keep columns while |R[k,k]| > rtol * |R[0,0]|
     # (monotone in exact arithmetic; enforce with a running cummax guard
     # against FP noise in the tail)

@@ -330,3 +330,42 @@ def test_mpiaij_input_single_process():
     x, rc = s.solve(b)
     assert rc.name == "SUCCESS"
     assert A.max_scaled_residual(x, b) < 1e-10
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_blr_fronts_match_single_chip():
+    """Distributed BLR fronts (FrontBLRMPI role): 3D Poisson with BLR
+    compression runs the SAME BLR bucket kernels inside the mesh
+    shard_map; the mesh result matches the single-chip residual."""
+    from strumpack_tpu import CompressionType, SPOptions
+    from strumpack_tpu.parallel.dist import make_sharded_factor_solve
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    nx = 12
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    opts = SPOptions(compression=CompressionType.BLR,
+                     compression_min_sep_size=32)
+    opts.blr.rel_tol = 1e-8
+    plan = build_plan(Ap, tree, upd, compression=opts)
+    assert any(bp.blr for lvl in plan.levels for bp in lvl)
+    pdev = numeric.PlanDev(plan)
+    b = Ap.spmv(np.ones(Ap.n))
+
+    # single chip (1-device mesh) vs 8-device mesh
+    res = {}
+    for nd in (1, 8):
+        mesh = Mesh(np.array(jax.devices()[:nd]), ("b",))
+        fn = make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64,
+                                       blr_tol=1e-8)
+        x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+        res[nd] = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    # BLR direct application is an approximate solve (rank cap tile/2);
+    # the contract here is mesh == single-chip, bit-for-bit semantics
+    assert res[8] < 1e-2, res
+    assert abs(res[8] - res[1]) <= 1e-10 + 0.01 * res[1], res
