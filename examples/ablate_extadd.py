@@ -24,7 +24,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from strumpack_tpu.utils.sync import device_sync
 
-    iters = int(os.environ.get("ABLATE_ITERS", "8"))
+    iters = int(os.environ.get("ABLATE_ITERS", "30"))
     # (nf, p, u_child): parent [nf, p, p] += child CB [nf, u, u] scatter
     shapes = [(2, 1536, 1024), (4, 1280, 1024), (8, 1024, 768),
               (8, 896, 768), (32, 576, 512), (512, 80, 64)]
@@ -67,7 +67,7 @@ def main():
             CT = jnp.matmul(C + acc * 0.0, T.transpose(0, 2, 1),
                             preferred_element_type=jnp.float32)
             F = F0 + jnp.matmul(T, CT, preferred_element_type=jnp.float32)
-            return jnp.sum(F[:, 0, 0])
+            return jnp.sum(F)   # consume ALL of F (defeat DCE)
 
         def gather(C, F0, pos, acc):
             valid = pos >= 0
@@ -78,13 +78,33 @@ def main():
             C3 = jnp.take_along_axis(C1.transpose(0, 2, 1), pc, axis=1)
             C3 = jnp.where(valid[:, :, None], C3, 0.0)     # [nf, p, p]
             F = F0 + C3.transpose(0, 2, 1)
-            return jnp.sum(F[:, 0, 0])
+            return jnp.sum(F)   # consume ALL of F (defeat DCE)
 
         print(f"shape nf={nf} p={p} u={u} (one-hot {fl:.2f} GFlop):",
               flush=True)
         t1 = run("onehot", onehot, C, F0, pos)
         t2 = run("gather", gather, C, F0, pos)
-        print(f"  -> speedup {t1/t2:.2f}x", flush=True)
+        # fused Pallas window-matmul kernel (production TPU default)
+        from strumpack_tpu.ops import pallas_extadd as EA
+        t3 = None
+        if EA._supports(p, u, np.float32):
+            pre = EA.precompute_windows(pos_np,
+                                        np.arange(nf, dtype=np.int32), u)
+            if pre is not None:
+                pos_m = jnp.asarray(pre[0])
+                clo = jnp.asarray(pre[1])
+                idxa = jnp.asarray(np.arange(nf, dtype=np.int32))
+
+                def pallas(C, F0, pos, acc):
+                    F = EA.extend_add_pallas(F0, C + acc * 0.0, idxa,
+                                             pos_m, clo)
+                    return jnp.sum(F)
+
+                t3 = run("pallas", pallas, C, F0, pos)
+        best = min(x for x in (t2, t3) if x is not None)
+        print(f"  -> onehot/gather {t1/t2:.2f}x"
+              + (f", gather/pallas {t2/t3:.2f}x" if t3 else ""),
+              flush=True)
 
 
 if __name__ == "__main__":
