@@ -30,6 +30,11 @@ mesh's front-batch axis ``b``:
 The whole factor+solve step is ONE jitted program: XLA schedules the
 all-gathers with compute, and a 1-device mesh runs the identical kernels
 as the non-mesh single-chip path.
+
+Known limitation: no split-program mode under the mesh yet — plans far
+above ~40 buckets (64^3-class) should use the single-chip split path or
+the sharded Krylov drivers; the mesh step targets the per-front-
+distributed regime.
 """
 from __future__ import annotations
 
