@@ -32,7 +32,16 @@ import numpy as np
 
 
 def choose_tile(s_pad: int, u_pad: int, leaf: int) -> int:
-    """Largest tile size <= leaf dividing both padded dims."""
+    """Largest tile size <= leaf dividing both padded dims, preferring a
+    tiling with at least TWO separator tiles: a single-tile "BLR" front
+    is a dense front in disguise — nothing compresses, and the tile-
+    sharded distributed path (parallel/spmd.py mode 'tile') degenerates
+    to fully replicated work."""
+    if s_pad >= 128:
+        for t in (256, 192, 128, 96, 64, 48, 32, 24, 16, 8, 4):
+            if (t <= leaf and s_pad % t == 0 and s_pad // t >= 2
+                    and (u_pad % t == 0 or u_pad == 0)):
+                return t
     for t in (256, 192, 128, 96, 64, 48, 32, 24, 16, 8, 4):
         if t <= leaf and s_pad % t == 0 and (u_pad % t == 0 or u_pad == 0):
             return t
@@ -72,9 +81,9 @@ def _compress_tiles(T, tol, r, algo="rrqr"):
 
 @partial(jax.jit,
          static_argnames=("t", "r", "nts", "nt", "adm_band", "variant",
-                          "lr_algo"))
+                          "lr_algo", "constrain"))
 def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
-                      variant="rl", lr_algo="rrqr"):
+                      variant="rl", lr_algo="rrqr", constrain=None):
     """Batched BLR partial factorization of [nf, p, p] fronts.
 
     Tiles: nt x nt of size t (p = nt*t); the leading nts tiles are the
@@ -112,6 +121,13 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
     dt = F.dtype
     tiles = F.reshape(nf, nt, t, nt, t).transpose(0, 1, 3, 2, 4)
     # [nf, nt(row), nt(col), t, t]
+    # ``constrain``: optional GSPMD tile-sharding hook (the FrontBLRMPI /
+    # ProcessorGrid2D tile-cycling role, BLR/BLRMatrixMPI.hpp:53): applied
+    # to the [nf, nt, nt, t, t] tile array so large single fronts factor
+    # with their tile grid distributed over the mesh — XLA partitions the
+    # batched compressions/updates and inserts the panel broadcasts.
+    if constrain is not None:
+        tiles = constrain(tiles)
 
     band = adm_band if nt > 1 else 0
     ll = variant == "ll" and band == 0 and nts > 0
@@ -205,6 +221,8 @@ def blr_factor_bucket(F, thresh, tol, t, r, nts, nt, adm_band=0,
             upd = jnp.einsum("fita,fijab,fjbs->fijts", Uz, mid, Vw,
                              preferred_element_type=dt)
             tiles = tiles - upd
+            if constrain is not None:
+                tiles = constrain(tiles)
 
         if band and k + 1 < nt:
             # strong admissibility: the distance-1 tiles stay dense; their

@@ -23,24 +23,40 @@ class DeviceELL:
         w = int(lens.max()) if n else 0
         self.n = n
         self.width = w
-        cols = np.full((n, w), n, dtype=np.int64)  # n = zero pad row
-        vidx = np.full((n, w), csr.nnz, dtype=np.int64)  # pad -> 0.0 value
+        # int32 indices (n, nnz < 2^31): int64 index gathers both waste
+        # bandwidth and trigger slow XLA gather compiles
+        cols = np.full((n, w), n, dtype=np.int32)  # n = zero pad row
+        vidx = np.full((n, w), csr.nnz, dtype=np.int32)  # pad -> 0.0 value
         rows = np.repeat(np.arange(n), lens)
         pos = np.arange(csr.nnz) - np.repeat(csr.rowptr[:-1], lens)
         cols[rows, pos] = csr.colind
-        vidx[rows, pos] = np.arange(csr.nnz)
+        vidx[rows, pos] = np.arange(csr.nnz, dtype=np.int32)
         self.cols = jnp.asarray(cols)
-        self.vidx = jnp.asarray(vidx)
+        self._vidx_host = vidx          # host copy: set_values stays numpy
+        self.vidx = None                # device copy made lazily if needed
         self.set_values(csr.data if dtype is None
                         else csr.data.astype(dtype))
 
     def set_values(self, data):
-        vals_ext = jnp.concatenate(
-            [jnp.asarray(data), jnp.zeros((1,), jnp.asarray(data).dtype)])
-        self.vals = vals_ext[self.vidx]  # [n, w]
+        if isinstance(data, np.ndarray):
+            # host gather: avoids dispatching (and compiling) a device
+            # gather program during the reorder phase — this single eager
+            # gather used to cost ~9 s of XLA compile at 32^3
+            vals_ext = np.concatenate([data, np.zeros((1,), data.dtype)])
+            self.vals = jnp.asarray(vals_ext[self._vidx_host])
+            return
+        if self.vidx is None:
+            self.vidx = jnp.asarray(self._vidx_host)
+        self.vals = _gather_vals(jnp.asarray(data), self.vidx)
 
     def __matmul__(self, x):
         return spmv_ell(self.vals, self.cols, x)
+
+
+@jax.jit
+def _gather_vals(data, vidx):
+    vals_ext = jnp.concatenate([data, jnp.zeros((1,), data.dtype)])
+    return vals_ext[vidx]
 
 
 @jax.jit

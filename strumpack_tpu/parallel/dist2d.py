@@ -136,6 +136,137 @@ def sharded_blocked_lu_pivoted(A, mesh: Mesh, blk: int = 256, thresh=0.0):
     return A, perm
 
 
+def _panel_factor_restricted(pan, thresh, w, slim, pivot=True):
+    """Factor one [nf, rows, w] panel with pivoting RESTRICTED to the
+    first ``slim`` rows (multifrontal contract: update rows belong to
+    ancestors and must never pivot into F11).  Returns (packed [nf, rows,
+    w] in PERMUTED row order, pj [nf, rows] applied-form row perm).
+
+    TPU f32: the Pallas panel kernel (in-register pivoting, hardware
+    column loop — ops/pallas_panel_lu.py).  Elsewhere: XLA lu on the
+    pivotable rows + a right trsm for the update rows."""
+    import jax.numpy as jnp
+    from ..ops import pallas_lu as PL
+    from ..ops import pallas_panel_lu as PP
+    nf, rows, _ = pan.shape
+    if PL._supports_pallas(pan.dtype) and jax.default_backend() == "tpu":
+        packed, pr = PP.pallas_panel_lu(pan, thresh, row0=0, w=w,
+                                        slim=slim, pivot=pivot)
+        pj = PP.panel_perm(pr, rows, 0, w)
+        return jnp.take_along_axis(packed, pj[:, :, None], axis=1), pj
+    top = pan[:, :slim]
+    if pivot:
+        lu_t, _, pp = jax.lax.linalg.lu(top)
+    else:
+        sq = top[:, :w]
+        lu_sq = PL.nopivot_factor_bucket_xla(sq, thresh, w)[:, :w, :w]
+        if slim > w:
+            Usq = jnp.triu(lu_sq)
+            below1 = jax.lax.linalg.triangular_solve(
+                Usq, top[:, w:], left_side=False, lower=False)
+            lu_t = jnp.concatenate([lu_sq, below1], axis=1)
+        else:
+            lu_t = lu_sq
+        pp = jnp.broadcast_to(jnp.arange(slim, dtype=jnp.int32),
+                              (nf, slim))
+    d = jnp.diagonal(lu_t[:, :w, :w], axis1=-2, axis2=-1)
+    th = jnp.asarray(thresh, jnp.real(jnp.zeros((), pan.dtype)).dtype)
+    dr = jnp.where(jnp.abs(d) < th,
+                   jnp.where(d == 0, th,
+                             jnp.sign(jnp.real(d)).astype(d.dtype) * th), d)
+    ii = jnp.arange(w)
+    lu_t = lu_t.at[:, ii, ii].set(dr)
+    if rows > slim:
+        Ud = jnp.triu(lu_t[:, :w, :w])
+        below = jax.lax.linalg.triangular_solve(
+            Ud, pan[:, slim:], left_side=False, lower=False)
+        packed = jnp.concatenate([lu_t, below], axis=1)
+    else:
+        packed = lu_t
+    pj = jnp.concatenate(
+        [pp.astype(jnp.int32),
+         jnp.broadcast_to(jnp.arange(slim, rows, dtype=jnp.int32),
+                          (nf, rows - slim))], axis=1)
+    return packed, pj
+
+
+def _grid_blk(s: int) -> int:
+    """Panel width for the grid-sharded partial factorization: widest
+    power-of-two divisor of s giving at least 3 panels (the panel is the
+    REPLICATED part of the loop — a single full-width panel would
+    replicate the whole F11 elimination)."""
+    for b in (256, 128, 64, 32, 16, 8):
+        if s % b == 0 and s // b >= 3:
+            return b
+    for b in (256, 128, 64, 32, 16, 8):
+        if s % b == 0 and b < s:
+            return b
+    return s
+
+
+def grid_partial_factor(F, mesh: Mesh, row_axes, col_axes, thresh, s_pad,
+                        pivot=True, blk=None):
+    """Grid-sharded partial factorization of a small batch of LARGE fronts
+    — the FrontDenseMPI role (FrontDenseMPI.cpp:150-205: ScaLAPACK pgetrf
+    + ptrsm + pgemm on a 2D BLACSGrid), generalized beyond the reference:
+    it factors only the leading ``s_pad`` columns and returns the standard
+    bucket-factor tuple, so any big DENSE bucket of the elimination tree
+    (not only the u=0 root) runs distributed.
+
+    F [nf, p, p] lives sharded P(None, row_axes, col_axes) via GSPMD
+    sharding constraints (XLA inserts the ScaLAPACK-style panel
+    broadcasts); the static panel loop does
+
+      replicated panel factorization (Pallas panel kernel on TPU f32,
+      pivoting restricted to the F11 rows)  ->  row gather applying the
+      pivots  ->  U12 row-panel trsm  ->  rank-w trailing update as a
+      row x column sharded MXU matmul (communication-free).
+
+    Returns (lu [nf,s,s], perm [nf,s], L21 [nf,u,s], U12 [nf,s,u],
+    CB [nf,u,u]) — identical contract to numeric._factor_bucket, with
+    row-sharding constraints left on the outputs so factor memory stays
+    distributed over the mesh."""
+    import jax.numpy as jnp
+    from ..ops.trisolve import trsm_unit_lower
+    nf, p, _ = F.shape
+    s = int(s_pad)
+    row_axes = tuple(row_axes) or None
+    col_axes = tuple(col_axes) or None
+    shard = _c(mesh, None, row_axes, col_axes)
+    repl = _c(mesh)
+    w = blk or _grid_blk(s)
+    G = shard(F)
+    ptot = jnp.broadcast_to(jnp.arange(p, dtype=jnp.int32), (nf, p))
+    for o in range(0, s, w):
+        pan = repl(jax.lax.dynamic_slice(G, (0, o, o), (nf, p - o, w)))
+        packed, pj = _panel_factor_restricted(pan, thresh, w, s - o,
+                                              pivot=pivot)
+        if pivot:
+            pjf = jnp.concatenate(
+                [jnp.broadcast_to(jnp.arange(o, dtype=jnp.int32), (nf, o)),
+                 o + pj], axis=1)
+            G = shard(jnp.take_along_axis(G, pjf[:, :, None], axis=1))
+            ptot = jnp.take_along_axis(ptot, pjf, axis=1)
+        G = jax.lax.dynamic_update_slice(G, packed, (0, o, o))
+        if o + w < p:
+            L11 = repl(packed[:, :w])
+            A12 = jax.lax.dynamic_slice(
+                G, (0, o, o + w), (nf, w, p - o - w))
+            U12 = _c(mesh, None, None, col_axes)(
+                trsm_unit_lower(L11, repl(A12)))
+            L21 = _c(mesh, None, row_axes, None)(packed[:, w:])
+            trail = jax.lax.dynamic_slice(
+                G, (0, o + w, o + w), (nf, p - o - w, p - o - w))
+            trail = shard(trail) - shard(jnp.matmul(
+                L21, U12, preferred_element_type=F.dtype))
+            G = jax.lax.dynamic_update_slice(G, U12, (0, o, o + w))
+            G = jax.lax.dynamic_update_slice(G, trail, (0, o + w, o + w))
+        G = shard(G)
+    rows = _c(mesh, None, row_axes, None)
+    return (rows(G[:, :s, :s]), ptot[:, :s], rows(G[:, s:, :s]),
+            rows(G[:, :s, s:]), rows(G[:, s:, s:]))
+
+
 def sharded_lu_solve_pivoted(LU, perm, b, mesh: Mesh, blk: int = 256):
     """Solve with sharded_blocked_lu_pivoted factors: permute b by the
     composed row permutation, then plain block forward/backward sweeps

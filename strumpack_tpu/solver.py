@@ -299,7 +299,10 @@ class SparseSolver:
         # plan (exact for dense, upper bound for compressed), measured
         # factor memory, projected peak device bytes
         from .utils.params import counters
-        counters.flops += self.plan.factor_flops
+        eff_flops = (self.plan.factor_flops
+                     if opts.compression == CompressionType.NONE
+                     else self.fac.effective_factor_flops())
+        counters.flops += eff_flops
         counters.factor_nonzeros = self.plan.factor_nnz
         counters.factor_memory = self.fac.factor_memory()
         counters.peak_device_bytes = max(
@@ -307,7 +310,7 @@ class SparseSolver:
             numeric.factor_peak_bytes(
                 self.pdev, np.dtype(opts.factor_dtype).itemsize))
         if opts.verbose:
-            gfs = self.plan.factor_flops / max(self.times["factor"], 1e-12) / 1e9
+            gfs = eff_flops / max(self.times["factor"], 1e-12) / 1e9
             fmem = self.fac.factor_memory()
             dense_mem = self.plan.factor_nnz * np.dtype(
                 opts.factor_dtype).itemsize
@@ -323,7 +326,8 @@ class SparseSolver:
                 mr = self.fac.max_rank()
                 if mr:
                     print(f"#   - maximum rank = {mr}")
-            print(f"#   - factor flops = {self.plan.factor_flops:.4g}, "
+            print(f"#   - factor flops = {eff_flops:.4g} "
+                  f"(dense-equivalent {self.plan.factor_flops:.4g}), "
                   f"rate = {gfs:.2f} GFlop/s")
         return ReturnCode.SUCCESS
 
@@ -405,6 +409,12 @@ class SparseSolver:
         if solver == KrylovSolver.DIRECT:
             xp = np.asarray(self._direct_solve(bp))
             self.its = 1
+            # achieved_rtol must reflect THIS solve, not a stale Krylov
+            # value (VERDICT r2): one spmv on the permuted/scaled system
+            rv = np.asarray(self.ell @ jnp.asarray(
+                xp, dtype=self.ell.vals.dtype)) - bp
+            nb = np.linalg.norm(bp)
+            self.achieved_rtol = float(np.linalg.norm(rv) / max(nb, 1e-300))
         else:
             spmv = lambda v: self.ell @ v
             prec = lambda r: self._direct_solve(

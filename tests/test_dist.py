@@ -369,3 +369,134 @@ def test_sharded_blr_fronts_match_single_chip():
     # the contract here is mesh == single-chip, bit-for-bit semantics
     assert res[8] < 1e-2, res
     assert abs(res[8] - res[1]) <= 1e-10 + 0.01 * res[1], res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_mesh_split_program_mode():
+    """Plans above numeric.SPLIT_SOLVE_BUCKETS run under the mesh in
+    split-program mode (VERDICT r2 item 2 / FrontGPU.cpp:374
+    split_smaller role): one dispatch per segment, sharded CB carry
+    between dispatches; residual parity with the single-chip path."""
+    from strumpack_tpu.parallel.dist import make_sharded_factor_solve
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    nx = 20
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    plan = build_plan(Ap, tree, upd)
+    nbuckets = sum(len(l) for l in plan.levels)
+    assert nbuckets > numeric.SPLIT_SOLVE_BUCKETS, nbuckets
+    pdev = numeric.PlanDev(plan)
+    b = Ap.spmv(np.ones(Ap.n))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    fn = make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64)
+    x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+
+    fac = numeric.factorize(pdev, Ap.data)
+    x1 = np.asarray(numeric.solve(fac, jnp.asarray(b)))
+    res1 = np.linalg.norm(Ap.spmv(x1) - b) / np.linalg.norm(b)
+    assert res < 1e-12, (res, res1)
+    assert res < 100 * max(res1, 1e-15), (res, res1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.skipif(not os.environ.get("STRUMPACK_SLOW_TESTS"),
+                    reason="64^3 mesh split-mode: set STRUMPACK_SLOW_TESTS")
+def test_mesh_split_program_64cubed():
+    """64^3 exact f32 factor+solve on the 8-device virtual mesh — the
+    regime split-program mode exists for (VERDICT r2 item 2 'done'
+    criterion).  Slow (CPU XLA does ~844 GFlop); enabled by env."""
+    from strumpack_tpu.parallel.dist import make_sharded_factor_solve
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    nx = 64
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=16)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    plan = build_plan(Ap, tree, upd)
+    pdev = numeric.PlanDev(plan)
+    b = Ap.spmv(np.ones(Ap.n)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    fn = make_sharded_factor_solve(pdev, mesh, dtype=jnp.float32)
+    x = np.asarray(fn(jnp.asarray(Ap.data, dtype=jnp.float32),
+                      jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-5, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_grid_partial_factor_modes():
+    """grid/tile intra-front distribution fires for big small-batch
+    fronts and the modeled replicated work collapses (VERDICT r2 item 1:
+    FrontDenseMPI.cpp:150-205 / BLRMatrixMPI tile-cycling roles)."""
+    from strumpack_tpu.parallel import spmd
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    nx = 16
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    plan = build_plan(Ap, tree, upd)
+    pdev = numeric.PlanDev(plan)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    modes, report = spmd.choose_modes(pdev, mesh)
+    assert any(m == "grid" for m in modes.values())
+    assert report["replicated_frac"] < 0.15, report
+    assert report["balance"] < 2.0, report
+
+    fn = spmd.make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64)
+    b = Ap.spmv(np.ones(Ap.n))
+    x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-12, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_blr_16cubed_mesh_balance():
+    """16^3-Poisson BLR on the 8-device mesh: modeled per-device flops
+    within 2x of ideal (VERDICT r2 item 1 'done' criterion) and the
+    distributed solve agrees with the single-chip BLR residual."""
+    from strumpack_tpu import CompressionType, SPOptions
+    from strumpack_tpu.parallel import spmd
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    nx = 16
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    opts = SPOptions(compression=CompressionType.BLR,
+                     compression_min_sep_size=64)
+    opts.blr.rel_tol = 1e-8
+    plan = build_plan(Ap, tree, upd, compression=opts)
+    pdev = numeric.PlanDev(plan)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    modes, report = spmd.choose_modes(pdev, mesh)
+    assert any(m == "tile" for m in modes.values())
+    assert report["balance"] < 2.0, report
+    assert report["replicated_frac"] < 0.15, report
+
+    fn = spmd.make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64,
+                                        blr_tol=1e-8)
+    b = Ap.spmv(np.ones(Ap.n))
+    x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-2, res

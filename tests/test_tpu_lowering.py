@@ -29,9 +29,11 @@ def test_factorization_lowers_and_compiles_on_tpu():
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tpu_lowering_worker.py")
     r = subprocess.run([sys.executable, worker], env=_tpu_env(),
-                       capture_output=True, text=True, timeout=1800)
+                       capture_output=True, text=True, timeout=3000)
     if r.returncode == 42:
         pytest.skip("worker found no TPU device")
     assert r.returncode == 0, (
         f"TPU lowering failed:\n{r.stdout[-2000:]}\n{r.stderr[-4000:]}")
     assert "lowered OK" in r.stdout
+    assert "split OK" in r.stdout      # split-program family on chip
+    assert "mesh OK" in r.stdout       # shard_map family on chip
