@@ -85,11 +85,16 @@ class Kernel:
 
     # ---- fitting ------------------------------------------------------
     def fit_HSS(self, X, y, leaf_size=128, max_rank=None, rel_tol=1e-4,
-                cluster_leaf=64, matrix_free=None):
-        """matrix_free=None auto-enables the sampling-based compression
-        (never materializes the n x n kernel matrix) above n=8192."""
+                cluster_leaf=64, matrix_free=None, compression="sketch"):
+        """matrix_free=None auto-enables the matrix-free compression
+        (never materializes the n x n kernel matrix) above n=8192.
+        compression: "sketch" (randomized sampling, default) or "ann"
+        (approximate-nearest-neighbor interpolative bases — the
+        HSSMatrix.compress_kernel role: no matvecs, O(n·c) kernel
+        evaluations)."""
         return self._fit(X, y, "hss", leaf_size, max_rank, rel_tol,
-                         cluster_leaf, matrix_free=matrix_free)
+                         cluster_leaf, matrix_free=matrix_free,
+                         compression=compression)
 
     def fit_HODLR(self, X, y, leaf_size=128, max_rank=None, rel_tol=1e-4,
                   cluster_leaf=64):
@@ -104,27 +109,30 @@ class Kernel:
         raise NotImplementedError
 
     def _fit(self, X, y, fmt, leaf_size, max_rank, rel_tol, cluster_leaf,
-             matrix_free=None, dtype=np.float32):
+             matrix_free=None, dtype=np.float32, compression="sketch"):
         # TPU's default-precision matmuls are bf16 — ruinous for the
         # compression/ULV numerics (same trap as the sparse solver,
         # PERF.md); pin full f32 MXU passes for the whole fit
         with jax.default_matmul_precision("float32"):
             return self._fit_inner(X, y, fmt, leaf_size, max_rank,
                                    rel_tol, cluster_leaf, matrix_free,
-                                   dtype)
+                                   dtype, compression)
 
     def _fit_inner(self, X, y, fmt, leaf_size, max_rank, rel_tol,
-                   cluster_leaf, matrix_free, dtype):
+                   cluster_leaf, matrix_free, dtype,
+                   compression="sketch"):
         X = np.asarray(X, np.float64)
         y = np.asarray(y, np.float64)
         n = len(X)
         order = recursive_pca_order(X, leaf=cluster_leaf)
         Xo = X[order]
         if matrix_free is None:
-            matrix_free = fmt == "hss" and n > 8192
+            matrix_free = fmt == "hss" and (n > 8192
+                                            or compression == "ann")
         if matrix_free and fmt == "hss":
             M = self._compress_matrix_free(Xo, leaf_size, max_rank,
-                                           rel_tol, dtype=dtype)
+                                           rel_tol, dtype=dtype,
+                                           compression=compression)
         else:
             K = np.asarray(self.eval(Xo, Xo))
             K = K + self.lam * np.eye(len(Xo))
@@ -145,7 +153,8 @@ class Kernel:
         return w
 
     def _compress_matrix_free(self, Xo, leaf_size, max_rank, rel_tol,
-                              dtype=np.float32, block=1024):
+                              dtype=np.float32, block=1024,
+                              compression="sketch"):
         """HSS compression of K + lam*I WITHOUT materializing K
         (the reference's matrix-free kernel compression,
         HSS/HSSMatrix.compress_kernel.hpp / kernel/Kernel.hpp:189): the
@@ -182,6 +191,17 @@ class Kernel:
             return v + lam * (I2 == J2).astype(dt)
 
         r = int(max_rank) if max_rank else max(16, int(leaf_size) // 2)
+        if compression == "ann":
+            # neighbor-based interpolative compression
+            # (HSSMatrix.compress_kernel.hpp role): no matvecs at all
+            from .clustering import approximate_knn
+            from ..structured.hss_sample import hss_from_neighbors
+            nbr, _ = approximate_knn(np.asarray(Xo),
+                                     k=min(16, max(8, r // 2)))
+            return hss_from_neighbors(elem, nbr, n,
+                                      leaf_size=int(leaf_size),
+                                      max_rank=r, rel_tol=rel_tol,
+                                      dtype=dt)
         return hss_from_sampling(mult, elem, n, leaf_size=int(leaf_size),
                                  max_rank=r, oversample=16,
                                  rel_tol=rel_tol, dtype=dt)

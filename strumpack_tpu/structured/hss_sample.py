@@ -185,3 +185,119 @@ def hss_from_sampling(mult, elem, m, leaf_size=64, max_rank=32,
         RredR = jnp.einsum("hkr,hkd->hrd", Xn.conj(),
                            jnp.concatenate([RredR[i1], RredR[i2]], axis=1))
     return H
+
+
+def _node_neighbor_columns(ann, m, t, L, c, seed=0):
+    """Per-level candidate COLUMN sets from an approximate-kNN graph
+    (host precompute for hss_from_neighbors).
+
+    For each node of each level: the nearest neighbors of the node's
+    members that lie OUTSIDE the node (nearest-first, round-robin over
+    members), padded with random far-field columns up to width ``c``.
+    Returns {level: [n_nodes, c] int32} for levels L (leaves) .. 1."""
+    rng = np.random.default_rng(seed)
+    ann = np.asarray(ann)
+    out = {}
+    for lev in range(L, 0, -1):
+        w = t * 2 ** (L - lev)
+        n_nodes = 2 ** lev
+        cols = np.zeros((n_nodes, c), np.int32)
+        for h in range(n_nodes):
+            lo, hi = h * w, min((h + 1) * w, m)
+            if lo >= m:
+                cols[h] = rng.integers(0, m, c)
+                continue
+            nb = ann[lo:hi].T.ravel()          # nearest-first round-robin
+            nb = nb[(nb >= 0) & ((nb < lo) | (nb >= hi))]
+            # first occurrences keep the nearest-first order
+            _, first = np.unique(nb, return_index=True)
+            nb = nb[np.sort(first)][:c]
+            k = len(nb)
+            cols[h, :k] = nb
+            if k < c:
+                # far-field fill: random columns outside the node
+                fill = rng.integers(0, max(m - (hi - lo), 1), c - k)
+                fill = np.where(fill >= lo, fill + (hi - lo), fill)
+                cols[h, k:] = np.minimum(fill, m - 1)
+        out[lev] = cols
+    return out
+
+
+def hss_from_neighbors(elem, ann, m, leaf_size=64, max_rank=32,
+                       n_extra=16, rel_tol=1e-6, dtype=jnp.float32,
+                       seed=0) -> HSSMatrix:
+    """ANN-based HSS compression for SYMMETRIC kernel matrices — the
+    reference's neighbor-search compression
+    (``HSS/HSSMatrix.compress_kernel.hpp``: interpolative bases computed
+    from each cluster's approximate nearest neighbors instead of random
+    sketches; no matvecs at all, only O(n · c) kernel evaluations).
+
+    elem(I, J) -> A[I, J] (A real symmetric: K(x, y) + lam·I)
+    ann [m, k]: approximate kNN ids in the CLUSTERED point order
+    (kernel/clustering.py approximate_knn — NeighborSearch.cpp role).
+
+    Rationale: after spatial clustering, the numerical row space of the
+    off-diagonal block A(I, far) is captured by the columns nearest to
+    the cluster (kernel decay), so the ID of A(I, neighbors ∪ randoms)
+    yields the same U generators the sketching builder extracts from
+    S = A R — at O(t·c) kernel entries per node instead of O(m·d) flops
+    per sketch.  The V side equals the U side by symmetry."""
+    t = int(leaf_size)
+    mp, L = _pad_pow2(m, t)
+    r = int(min(max_rank, t))
+    c = max(2 * r, 32) + int(n_extra)
+    cand = _node_neighbor_columns(ann, m, t, L, c, seed=seed)
+
+    tol = jnp.asarray(rel_tol, jnp.real(jnp.zeros((), dtype)).dtype)
+    nl = 2 ** L
+    leaf_idx = jnp.minimum(jnp.arange(nl * t).reshape(nl, t), m - 1)
+    in_range = (jnp.arange(nl * t).reshape(nl, t) < m)
+
+    D = elem(leaf_idx[:, :, None], leaf_idx[:, None, :]).astype(dtype)
+    D = jnp.where(in_range[:, :, None] & in_range[:, None, :], D,
+                  jnp.eye(t, dtype=dtype)[None])
+
+    C0 = jnp.asarray(cand[L])
+    F = elem(leaf_idx[:, :, None], C0[:, None, :]).astype(dtype)
+    F = jnp.where(in_range[:, :, None], F, 0.0)
+    X, Jl, rks = _id_rows(F, tol, r)
+    Jg = jnp.take_along_axis(leaf_idx, Jl, 1)
+
+    H = HSSMatrix.__new__(HSSMatrix)
+    H.m, H.t, H.mp, H.L, H.r = m, t, mp, L, r
+    H.rel_tol = rel_tol
+    H.dtype = jnp.zeros((), dtype).dtype
+    H._factored = False
+    H.D = D
+    H.Uleaf = X
+    H.Vleaf = X.conj()
+    H.ranks = [(rks, rks)]
+    H.Ru, H.Rv, H.B12, H.B21 = [], [], [], []
+
+    Kg = Jg
+    rk = rks
+    for lev in range(L - 1, -1, -1):
+        half = 2 ** lev
+        i1 = 2 * jnp.arange(half)
+        i2 = i1 + 1
+        B12 = elem(Jg[i1][:, :, None], Kg[i2][:, None, :]).astype(dtype)
+        B21 = elem(Jg[i2][:, :, None], Kg[i1][:, None, :]).astype(dtype)
+        H.B12.append(B12)
+        H.B21.append(B21)
+        if lev == 0:
+            break
+        rows2 = jnp.concatenate([Jg[i1], Jg[i2]], axis=1)      # [half, 2r]
+        # rows beyond a child's achieved rank are meaningless selections:
+        # zero them so the parent ID can never pick them
+        rmask2 = jnp.concatenate(
+            [jnp.arange(r)[None, :] < rk[i1][:, None],
+             jnp.arange(r)[None, :] < rk[i2][:, None]], axis=1)
+        Cp = jnp.asarray(cand[lev])
+        Fp = elem(rows2[:, :, None], Cp[:, None, :]).astype(dtype)
+        Fp = jnp.where(rmask2[:, :, None], Fp, 0.0)
+        Xn, Jl2, rk = _id_rows(Fp, tol, r)
+        H.Ru.append(Xn)
+        H.Rv.append(Xn.conj())
+        Jg = jnp.take_along_axis(rows2, Jl2, 1)
+        Kg = Jg
+    return H
