@@ -156,14 +156,26 @@ class SparseSolver:
         elif m in (ReorderingStrategy.ND, ReorderingStrategy.METIS,
                    ReorderingStrategy.AND, ReorderingStrategy.PARMETIS,
                    ReorderingStrategy.SCOTCH, ReorderingStrategy.PTSCOTCH):
-            from .sparse.ordering.nd import nested_dissection
             # METIS-family names get the native multilevel bisection
             # (HEM coarsening + FM + vertex-cover separators); ND/AND is
-            # the BFS level-set bisection (ANDSparspak role)
+            # the BFS level-set bisection (ANDSparspak role).  The
+            # parallel names run the distributed-WORK ND across
+            # jax.distributed processes (MatrixReorderingMPI role).
             ml = m not in (ReorderingStrategy.ND, ReorderingStrategy.AND)
-            perm, iperm, tree = nested_dissection(
-                Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf,
-                splitter="ml" if ml else "bfs")
+            import jax as _jax
+            if (m in (ReorderingStrategy.PARMETIS,
+                      ReorderingStrategy.PTSCOTCH)
+                    and _jax.process_count() > 1):
+                from .sparse.ordering.nd_dist import (
+                    nested_dissection_distributed)
+                perm, iperm, tree = nested_dissection_distributed(
+                    Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf,
+                    splitter="ml" if ml else "bfs")
+            else:
+                from .sparse.ordering.nd import nested_dissection
+                perm, iperm, tree = nested_dissection(
+                    Asym.rowptr, Asym.colind, Asym.n, leaf=opts.nd_leaf,
+                    splitter="ml" if ml else "bfs")
         elif m == ReorderingStrategy.SPECTRAL:
             from .sparse.ordering.nd import nested_dissection
             perm, iperm, tree = nested_dissection(

@@ -66,4 +66,21 @@ frac = local_b / max(global_b, 1)
 print(f"proc {pid}: staged plan arrays {local_b} / {global_b} bytes "
       f"({100 * frac:.0f}%)", flush=True)
 assert frac < 0.6, (local_b, global_b)
+
+# distributed-WORK reordering (MatrixReorderingMPI role): PARMETIS name
+# routes the subgraph orderings across the two processes; the composed
+# permutation must be identical on both and solve to the same residual
+from strumpack_tpu.options import ReorderingStrategy  # noqa: E402
+opts2 = SPOptions(krylov_solver=KrylovSolver.DIRECT,
+                  factor_dtype="float64", refine_dtype="float64",
+                  reordering_method=ReorderingStrategy.PARMETIS)
+s2 = DistributedSparseSolver(mesh, opts2)
+s2.set_distributed_csr_matrix(lrp, lci, lv, lo, A.n)
+s2.reorder()
+x2, rc2 = s2.solve(b)
+assert rc2 == ReturnCode.SUCCESS, rc2
+res2 = A.max_scaled_residual(x2, b)
+print(f"proc {pid}: distnd res={res2:.2e} nseps={s2.tree.nseps}",
+      flush=True)
+assert res2 < 1e-10, res2
 print(f"MHOK {pid}", flush=True)

@@ -241,3 +241,81 @@ def test_native_min_degree():
     pb = min_degree_native(B.rowptr, B.colind, B.n)
     assert sorted(pb) == list(range(B.n))
     assert time.time() - t0 < 5.0
+
+
+def test_distributed_nd_composition():
+    """nd_dist internals: top bisection + per-subgraph orderings compose
+    into a valid postorder permutation + separator tree (single-process
+    simulation of the 2-process path; the real 2-process run is covered
+    by test_multihost_two_processes)."""
+    import numpy as np
+    from strumpack_tpu.sparse.gen import poisson2d
+    from strumpack_tpu.sparse.ordering import nd_dist
+    from strumpack_tpu.sparse.ordering.nd import nested_dissection
+    from strumpack_tpu.sparse.separator_tree import TreeBuilder
+
+    A = poisson2d(20)
+    n = A.n
+    top = nd_dist._top_bisection(A.rowptr, A.colind, n, 1)
+    leaves = []
+    nd_dist._collect_leaves(top, leaves)
+    assert len(leaves) == 2
+    results = {}
+    for g, ids in enumerate(leaves):
+        gl = np.full(n, -1, np.int64)
+        gl[ids] = np.arange(len(ids))
+        lrp, lci = [0], []
+        for v in ids:
+            cs = gl[A.colind[A.rowptr[v]:A.rowptr[v + 1]]]
+            cs = cs[cs >= 0]
+            lci.append(cs)
+            lrp.append(lrp[-1] + len(cs))
+        perm_l, _, tree_l = nested_dissection(
+            np.asarray(lrp, np.int64), np.concatenate(lci), len(ids),
+            leaf=8, splitter="bfs")
+        results[g] = (ids[perm_l], tree_l.sep_begin, tree_l.sep_end,
+                      tree_l.lch, tree_l.rch)
+    # pack/unpack roundtrip
+    rt = nd_dist._unpack_results(nd_dist._pack_results(results))
+    for g in results:
+        for a, b in zip(results[g], rt[g]):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
+    # compose (mirrors nested_dissection_distributed's compose step)
+    tb = TreeBuilder()
+    cnt = [0]
+
+    def compose(node):
+        if node[0] == "leaf":
+            g = cnt[0]; cnt[0] += 1
+            perm_ids, sb, se, lch, rch = results[g]
+            off_v, off_n = tb._count, len(tb.sep_begin)
+            tb.emit(perm_ids)
+            root = -1
+            for i in range(len(sb)):
+                root = tb.add_node(
+                    int(sb[i]) + off_v, int(se[i]) + off_v,
+                    int(lch[i]) + off_n if lch[i] >= 0 else -1,
+                    int(rch[i]) + off_n if rch[i] >= 0 else -1)
+            return root
+        _, l, r, sep = node
+        lr = compose(l); rr = compose(r)
+        lo, hi = tb.emit(sep)
+        return tb.add_node(lo, hi, lr, rr)
+
+    compose(top)
+    perm, iperm, tree = tb.finish(n)
+    assert (np.sort(perm) == np.arange(n)).all()
+    # the composed tree drives a correct factorization
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+    from strumpack_tpu.frontal import numeric
+    import jax.numpy as jnp
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    plan = build_plan(Ap, tree, upd)
+    pdev = numeric.PlanDev(plan)
+    fac = numeric.factorize(pdev, Ap.data)
+    b = Ap.spmv(np.ones(n))
+    x = np.asarray(numeric.solve(fac, jnp.asarray(b)))
+    assert np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b) < 1e-12
