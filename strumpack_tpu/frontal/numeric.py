@@ -138,9 +138,58 @@ class PlanDev:
         self.plan = plan
         self.levels = [[BucketDev(bp) for bp in lvl] for lvl in plan.levels]
         self._derive_cb_pairs()
+        self._stage_chunks()
         self._arrays = None
         self._level_arrays = {}
         self._jit_cache = {}
+
+    def _stage_chunks(self):
+        """Stage chunk-partitioned index arrays (ck_* keys) for buckets
+        whose working set trips the memory model (BucketPlan.chunks > 1):
+        assembly entries partitioned by owning chunk with no-op padding,
+        per-front arrays reshaped [chunks, nf/chunks, ...] — consumed by
+        the lax.scan body of _bucket_factor_chunked."""
+        zslot = self.plan.nnz
+        for lvl in self.levels:
+            for bd in lvl:
+                bp = bd.bp
+                structured = (bp.hss or bp.hodlr or bp.hodbf
+                              or bp.hss_sample)
+                if getattr(bp, "chunks", 1) <= 1 or structured:
+                    bp.chunks = 1
+                    continue
+                nc, nf = bp.chunks, bp.nf
+                nfc = nf // nc
+                bidx = np.asarray(bp.asm_bidx)
+                dev = bidx // nfc
+                counts = np.bincount(dev, minlength=nc)
+                K = max(int(counts.max(initial=0)), 1)
+                ob = np.zeros((nc, K), np.int32)
+                orr = np.zeros((nc, K), np.int32)
+                oc = np.zeros((nc, K), np.int32)
+                ov = np.full((nc, K), zslot, np.asarray(
+                    bd.host_arrays["asm_vidx"]).dtype)
+                vv = np.asarray(bd.host_arrays["asm_vidx"])
+                rr = np.asarray(bp.asm_r)
+                cc = np.asarray(bp.asm_c)
+                for d in range(nc):
+                    sel = dev == d
+                    k = int(counts[d])
+                    ob[d, :k] = bidx[sel] - d * nfc
+                    orr[d, :k] = rr[sel]
+                    oc[d, :k] = cc[sel]
+                    ov[d, :k] = vv[sel]
+                bd.host_arrays.update(ck_asm_bidx=ob, ck_asm_r=orr,
+                                      ck_asm_c=oc, ck_asm_vidx=ov)
+                for side in ("L", "R"):
+                    if not getattr(bd, "has_" + side):
+                        continue
+                    pos = np.asarray(getattr(bp, "pos" + side))
+                    bd.host_arrays["ck_pos" + side] = pos.reshape(
+                        nc, nfc, -1)
+                    for (bk, u, key) in getattr(bd, "pairs" + side):
+                        idx = np.asarray(bd.host_arrays[key])
+                        bd.host_arrays["ck_" + key] = idx.reshape(nc, nfc)
 
     @property
     def arrays(self):
@@ -692,6 +741,95 @@ def _ext_add_vec(v, cbv_list, pos, pairs, a):
 # whole-phase programs
 # ---------------------------------------------------------------------------
 
+def _factor_assembled(bp, F, thresh, tol, spd, hss_tol, pivoting):
+    """Factor one ASSEMBLED front batch F [nf?, p, p] by the bucket's
+    front type.  Returns (tag, factors_tuple, CB) — shared by the direct
+    step and the nf-chunked scan body."""
+    if bp.blr:
+        from . import blr as B
+        t = bp.tile
+        nt, nts = bp.p // t, bp.s_pad // t
+        lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk = B.blr_factor_bucket(
+            F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt,
+            adm_band=bp.adm_band,
+            variant=getattr(bp, "blr_variant", "rl"),
+            lr_algo=getattr(bp, "lr_algo", "rrqr"))
+        if getattr(bp, "cb_comp", 0) and CB.size:
+            # memory-efficient variant: hand the parent a BLR-compressed
+            # CB (FrontBLR F22blr_ role); extend-add densifies lazily
+            CB = _compress_cb(CB, bp.cb_comp, tol,
+                              max(bp.cb_comp // 4, 8))
+        return "blr", (lud, perms, Uu, Vu, Ul, Vl, Du, Dl, rk), CB
+    if spd:
+        L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
+        return "spd", (L, L21), CB
+    lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad,
+                                            pivoting=pivoting)
+    if bp.lossy:
+        lu = _quantize(lu, bp.lossy)
+        L21 = _quantize(L21, bp.lossy)
+        U12 = _quantize(U12, bp.lossy)
+    return "lu", (lu, perm, L21, U12), CB
+
+
+def _record_factors(out, key, tag, fac):
+    if tag == "blr":
+        out["blr"][key] = fac[:8]
+        out["blr_ranks"][key] = fac[8]
+    elif tag == "spd":
+        out["lu"][key] = fac[0]
+        out["L21"][key] = fac[1]
+    else:
+        out["lu"][key] = fac[0]
+        out["perm"][key] = fac[1]
+        out["L21"][key] = fac[2]
+        out["U12"][key] = fac[3]
+
+
+def _bucket_factor_chunked(bd, a, vals_ext, cb_list, thresh, tol, spd,
+                           hss_tol, pivoting):
+    """Memory-bounded bucket execution (FrontGPU split_smaller role at
+    bucket granularity): the nf fronts are assembled + factored in
+    ``bp.chunks`` sequential lax.scan steps of nf/chunks fronts, so one
+    chunk's dense working set — not the whole batch's — bounds peak HBM.
+    Chunk index arrays are staged by PlanDev (ck_* keys); outputs stack
+    along the scan axis and reshape back to the full batch."""
+    bp = bd.bp
+    nc = bp.chunks
+    nfc = bp.nf // nc
+    dtype = vals_ext.dtype
+    xs = {"ab": a["ck_asm_bidx"], "ar": a["ck_asm_r"],
+          "ac": a["ck_asm_c"], "av": a["ck_asm_vidx"]}
+    pairs_ck = {}
+    for side in ("L", "R"):
+        if not getattr(bd, "has_" + side):
+            continue
+        xs["pos" + side] = a["ck_pos" + side]
+        pk = []
+        for (bk, u, key) in getattr(bd, "pairs" + side):
+            xs[key] = a["ck_" + key]
+            pk.append((bk, u, key))
+        pairs_ck[side] = pk
+
+    def body(carry, x):
+        F = jnp.zeros((nfc, bp.p, bp.p), dtype=dtype)
+        F = F.at[x["ab"], x["ar"], x["ac"]].add(vals_ext[x["av"]])
+        for side in ("L", "R"):
+            if side in pairs_ck:
+                F = _extend_add_blocks(F, cb_list, x["pos" + side],
+                                       pairs_ck[side], x,
+                                       pallas_ok=False)
+        tag, fac, CB = _factor_assembled(bp, F, thresh, tol, spd,
+                                         hss_tol, pivoting)
+        return carry, (fac, CB)
+
+    _, (facs, CBs) = jax.lax.scan(body, 0, xs)
+    unstack = lambda t: jax.tree_util.tree_map(
+        lambda x: x.reshape((nc * x.shape[1],) + x.shape[2:]), t)
+    tag = ("blr" if bp.blr else ("spd" if spd else "lu"))
+    return tag, unstack(facs), unstack(CBs)
+
+
 def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
                         spd, hss_tol, out, pivoting=True):
     """Assemble + partially factor one bucket; records factors in ``out``
@@ -706,6 +844,13 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
                                             seed=li * 131 + bi)
         out["hss"][key] = (H, S12, F21)
         return CB
+    structured = bp.hss or bp.hodlr or bp.hodbf
+    if getattr(bp, "chunks", 1) > 1 and not structured:
+        tag, fac, CB = _bucket_factor_chunked(
+            bd, a, vals_ext, cb_list, thresh, tol, spd, hss_tol,
+            pivoting)
+        _record_factors(out, key, tag, fac)
+        return CB
     F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
     F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
         vals_ext[a["asm_vidx"]])
@@ -713,44 +858,17 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
         F = _extend_add_blocks(F, cb_list, a["posL"], bd.pairsL, a)
     if bd.has_R:
         F = _extend_add_blocks(F, cb_list, a["posR"], bd.pairsR, a)
-    if bp.blr:
-        from . import blr as B
-        t = bp.tile
-        nt, nts = bp.p // t, bp.s_pad // t
-        lud, perms, Uu, Vu, Ul, Vl, Du, Dl, CB, rk = B.blr_factor_bucket(
-            F, thresh, tol, t=t, r=bp.max_rank, nts=nts, nt=nt,
-            adm_band=bp.adm_band,
-            variant=getattr(bp, "blr_variant", "rl"),
-            lr_algo=getattr(bp, "lr_algo", "rrqr"))
-        out["blr"][key] = (lud, perms, Uu, Vu, Ul, Vl, Du, Dl)
-        out["blr_ranks"][key] = rk
-        if getattr(bp, "cb_comp", 0) and CB.size:
-            # memory-efficient variant: hand the parent a BLR-compressed
-            # CB (FrontBLR F22blr_ role); extend-add densifies lazily
-            CB = _compress_cb(CB, bp.cb_comp, tol,
-                              max(bp.cb_comp // 4, 8))
-    elif bp.hss or bp.hodlr or bp.hodbf:
+    if structured:
         # HSS/HODLR/HODBF fronts (FrontHSS / FrontHODLR roles), batched
         # via vmap: compress + factor F11 (ULV / SMW), Schur
         # S12 = F11^-1 F12, CB = F22 - F21 S12; HODBF stores S12/F21 as
         # rectangular butterflies.
         H, S12, F21, CB = _hss_front_bucket(F, bp, hss_tol, dtype)
         out["hss"][key] = (H, S12, F21)
-    elif spd:
-        L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
-        out["lu"][key] = L
-        out["L21"][key] = L21
-    else:
-        lu, perm, L21, U12, CB = _factor_bucket(F, thresh, bp.s_pad,
-                                                  pivoting=pivoting)
-        if bp.lossy:
-            lu = _quantize(lu, bp.lossy)
-            L21 = _quantize(L21, bp.lossy)
-            U12 = _quantize(U12, bp.lossy)
-        out["lu"][key] = lu
-        out["perm"][key] = perm
-        out["L21"][key] = L21
-        out["U12"][key] = U12
+        return CB
+    tag, fac, CB = _factor_assembled(bp, F, thresh, tol, spd, hss_tol,
+                                     pivoting)
+    _record_factors(out, key, tag, fac)
     return CB
 
 
@@ -1168,7 +1286,8 @@ def _bucket_sig(bd):
     arrs = tuple(sorted(
         (k, np.asarray(v).dtype.name, np.asarray(v).shape)
         for k, v in bd.host_arrays.items()))
-    return (bp.s_pad, bp.u_pad, bp.nf, bp.blr, bp.tile, bp.max_rank,
+    return (bp.s_pad, bp.u_pad, bp.nf, getattr(bp, "chunks", 1),
+            bp.blr, bp.tile, bp.max_rank,
             bp.adm_band, getattr(bp, "blr_variant", "rl"),
             getattr(bp, "lr_algo", "rrqr"), getattr(bp, "cb_comp", 0),
             bp.lossy, bp.hss, bp.hodlr, bp.hodbf, bp.hss_leaf,
@@ -1380,7 +1499,10 @@ def factor_peak_bytes(pdev, itemsize: int) -> int:
     peak_ws = 0
     prev_cb = 0
     for lvl in pdev.levels:
-        fbytes = sum(bd.bp.nf * bd.bp.p * bd.bp.p for bd in lvl) * itemsize
+        # chunked buckets assemble nf/chunks fronts at a time
+        fbytes = sum(
+            (bd.bp.nf // getattr(bd.bp, "chunks", 1)) * bd.bp.p * bd.bp.p
+            for bd in lvl) * itemsize
         cb = 0
         for bd in lvl:
             bp = bd.bp

@@ -66,6 +66,28 @@ def pad_size(x: int) -> int:
     raise ValueError(f"front dimension {x} exceeds pad schedule")
 
 
+def chunk_cap_bytes() -> int:
+    """Per-bucket working-set cap that triggers nf-chunked execution.
+    Default: 2 GB (an [nf_c, p, p] f32 assembly + factor pieces must fit
+    several times in a 16 GB HBM alongside factors and child CBs);
+    override with STRUMPACK_TPU_CHUNK_GB."""
+    import os
+    env = os.environ.get("STRUMPACK_TPU_CHUNK_GB")
+    return int(float(env) * 1e9) if env else 2 * 10 ** 9
+
+
+def choose_chunks(nf: int, p: int, itemsize: int = 4) -> int:
+    """Number of sequential chunks for an [nf, p, p] bucket: smallest
+    power of two so one chunk's modeled working set (~3 dense [p, p]
+    buffers per front) fits the cap."""
+    cap = chunk_cap_bytes()
+    per_front = 3 * p * p * itemsize
+    chunks = 1
+    while chunks < nf and (nf // chunks) * per_front > cap:
+        chunks *= 2
+    return chunks
+
+
 def batch_pad(x: int) -> int:
     """Round a bucket's batch count up to a power of two (dummy identity
     fronts fill the tail) so jitted bucket kernels are shape-reusable
@@ -127,6 +149,12 @@ class BucketPlan:
     hss_sample: bool = False
     samp: dict = None            # device index arrays (ELL + CB pos maps)
     samp_meta: dict = None       # static ints: ds, off/stride/has per child
+    # memory-bounded execution (FrontGPU split_smaller role at BUCKET
+    # granularity): nf is processed in `chunks` sequential lax.scan steps
+    # of nf/chunks fronts each, so one chunk's dense working set — not
+    # the whole bucket's — bounds peak HBM (100^3-class mid-tree buckets
+    # would otherwise assemble 10+ GB dense F batches)
+    chunks: int = 1
 
     @property
     def nf(self) -> int:
@@ -237,6 +265,7 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                             u_pad=int(u_pad_all[sel[0]]),
                             fronts=sel, ds=ds_b, du=du_b)
             sp, up, p = bp.s_pad, bp.u_pad, bp.p
+            bp.chunks = choose_chunks(nf, p)
             if compression is not None:
                 from ..options import CompressionType as CT
                 comp = compression.compression

@@ -285,7 +285,10 @@ class ShardedPlan:
                     nfl = nf // nb
                     st = _shard_asm(arrs, nf, nb, zslot, rows)
                     for k, v in arrs.items():
-                        if k.startswith("asm_"):
+                        if k.startswith("asm_") or k.startswith("ck_"):
+                            # chunked execution is a single-chip memory
+                            # bound; the mesh path shards the batch
+                            # instead (bp.chunks reset below)
                             continue
                         v = np.asarray(v)
                         if v.ndim >= 1 and v.shape[0] == nf:
@@ -296,7 +299,7 @@ class ShardedPlan:
                                 v, (len(rows),) + v.shape).copy()
                     c.bp = dataclasses.replace(
                         bp, fronts=bp.fronts[:min(nfl, len(bp.fronts))],
-                        ds=bp.ds[:nfl], du=bp.du[:nfl])
+                        ds=bp.ds[:nfl], du=bp.du[:nfl], chunks=1)
                 else:  # repl: every local device gets the full bucket
                     st = {k: np.broadcast_to(
                         np.asarray(v),

@@ -91,3 +91,86 @@ def test_split_matches_whole(monkeypatch):
         x, rc = s.solve(b)
         xs[mode] = np.asarray(x)
     assert np.allclose(xs["whole"], xs["split"], rtol=1e-12, atol=1e-12)
+
+
+def test_chunked_bucket_execution_exact():
+    """nf-chunked bucket execution (FrontGPU split_smaller role at bucket
+    granularity): forcing a tiny chunk cap must reproduce the unchunked
+    factorization bit-for-bit — assembly partition, extend-add pair
+    slicing, and scan-stacked factors all line up."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+    from strumpack_tpu.frontal import numeric
+
+    nx = 12
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    b = Ap.spmv(np.ones(Ap.n))
+
+    xs = {}
+    old = os.environ.get("STRUMPACK_TPU_CHUNK_GB")
+    try:
+        for tag, cap in (("chunked", "0.001"), ("plain", "100")):
+            os.environ["STRUMPACK_TPU_CHUNK_GB"] = cap
+            plan = build_plan(Ap, tree, upd)
+            if tag == "chunked":
+                assert any(bp.chunks > 1
+                           for lvl in plan.levels for bp in lvl)
+            pdev = numeric.PlanDev(plan)
+            fac = numeric.factorize(pdev, Ap.data)
+            xs[tag] = np.asarray(numeric.solve(fac, jnp.asarray(b)))
+    finally:
+        if old is None:
+            os.environ.pop("STRUMPACK_TPU_CHUNK_GB", None)
+        else:
+            os.environ["STRUMPACK_TPU_CHUNK_GB"] = old
+    assert np.array_equal(xs["chunked"], xs["plain"])
+    res = np.linalg.norm(Ap.spmv(xs["chunked"]) - b) / np.linalg.norm(b)
+    assert res < 1e-12, res
+
+
+def test_chunked_blr_cb_compression():
+    """Chunked execution composes with BLR fronts + compressed CBs."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from strumpack_tpu import CompressionType, SPOptions
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+    from strumpack_tpu.frontal import numeric
+
+    nx = 12
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    opts = SPOptions(compression=CompressionType.BLR,
+                     compression_min_sep_size=32)
+    opts.blr.rel_tol = 1e-8
+    opts.blr.cb_compression = True
+    old = os.environ.get("STRUMPACK_TPU_CHUNK_GB")
+    os.environ["STRUMPACK_TPU_CHUNK_GB"] = "0.001"
+    try:
+        plan = build_plan(Ap, tree, upd, compression=opts)
+        assert any(bp.chunks > 1 and bp.blr
+                   for lvl in plan.levels for bp in lvl)
+        pdev = numeric.PlanDev(plan)
+        fac = numeric.factorize(pdev, Ap.data, blr_tol=1e-8)
+        b = Ap.spmv(np.ones(Ap.n))
+        x = np.asarray(numeric.solve(fac, jnp.asarray(b)))
+        res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+        assert res < 1e-1, res
+    finally:
+        if old is None:
+            os.environ.pop("STRUMPACK_TPU_CHUNK_GB", None)
+        else:
+            os.environ["STRUMPACK_TPU_CHUNK_GB"] = old
