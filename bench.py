@@ -197,6 +197,7 @@ def main():
         s.factor()
         t_factor = s.times["factor"]
         b = A.spmv(np.ones(A.n))
+        x, rc = s.solve(b)       # first call pays the GMRES compile
         x, rc = s.solve(b)
         t_solve = s.times["solve"]
         res = A.max_scaled_residual(x, b)

@@ -315,22 +315,33 @@ def _extend_add_blocks(F, cb_list, pos, pairs, a, pallas_ok=True):
     mode = os.environ.get("STRUMPACK_TPU_EA", "")
     onehot = mode == "onehot"
     for (bk, u, key) in pairs:
-        Cb = _cb_dense(cb_list[bk])            # [nfc, u, u]
+        entry = cb_list[bk]
         idx = a[key]                           # [nf], -1 = not this bucket
         # fused Pallas window-matmul kernel (ops/pallas_extadd.py): all
         # intermediates stay in VMEM, ~10x the gather formulation on the
         # big buckets.  Falls back to the gather path off-TPU, for non-f32,
-        # for buckets without window metadata, or with STRUMPACK_TPU_EA
-        # set to gather/onehot.
+        # for compressed child CBs, for buckets without window metadata,
+        # or with STRUMPACK_TPU_EA set to gather/onehot.
         if (pallas_ok and ("eap" + key) in a and mode in ("", "pallas")
+                and not isinstance(entry, BLRCB)
                 and F.dtype == jnp.float32
                 and (jax.default_backend() == "tpu" or mode == "pallas")):
             F = EA.extend_add_pallas(
-                F, Cb, idx, a["eap" + key], a["eac" + key],
+                F, entry, idx, a["eap" + key], a["eac" + key],
                 interpret=jax.default_backend() != "tpu")
             continue
-        sel = jnp.clip(idx, 0, max(Cb.shape[0] - 1, 0))
-        C = Cb[sel]
+        nfc = entry.shape[0]
+        sel = jnp.clip(idx, 0, max(nfc - 1, 0))
+        if isinstance(entry, BLRCB):
+            # densify only the SELECTED child rows: materializing the
+            # whole compressed batch first is loop-invariant inside the
+            # chunked scan and XLA hoists it into a full dense CB copy
+            # (the 100^3 OOM) — per-selection densify keeps peak at the
+            # consumer's batch size
+            C = _cb_dense(jax.tree_util.tree_map(
+                lambda x: x[sel], entry))
+        else:
+            C = entry[sel]
         if onehot:
             valid = (idx >= 0).astype(F.dtype)[:, None, None]
             ii = jnp.arange(u, dtype=pos.dtype)
@@ -517,19 +528,39 @@ def _factor_bucket_spd(F, s_pad):
 
 
 def _quantize(x, bits):
-    """Lossy factor storage (FrontLossy.cpp:46-90 ZFP analog): bf16 cast
-    (bits >= 16) or int8 with per-row f32 scales (bits <= 8)."""
+    """Lossy factor storage (FrontLossy.cpp:46-90 ZFP fixed-rate analog):
+    bf16 cast (bits >= 16, 2x), int8 with per-row f32 scales (bits == 8,
+    ~4x), or nibble-PACKED int4 with per-row scales (bits <= 4, ~8x —
+    two 4-bit mantissas per uint8 byte, unpacked by bit ops at solve
+    time).  Static shapes throughout: rate is fixed per array, the
+    error-bounded adaptivity of real ZFP is played by the bits choice."""
     if bits >= 16 or x.size == 0:
         return x.astype(jnp.bfloat16)
-    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    if bits > 4:
+        scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
+        q = jnp.round(x / scale).astype(jnp.int8)
+        return (q, scale.astype(jnp.float32))
+    # int4: values in [-7, 7] stored as nibble+8; last dim halves
+    scale = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 7.0
     scale = jnp.maximum(scale, jnp.finfo(jnp.float32).tiny)
-    q = jnp.round(x / scale).astype(jnp.int8)
-    return (q, scale.astype(jnp.float32))
+    q = jnp.clip(jnp.round(x / scale), -7, 7).astype(jnp.int32) + 8
+    lo, hi = q[..., 0::2], q[..., 1::2]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return (packed, scale.astype(jnp.float32))
 
 
 def _dequantize(t, dtype):
-    if isinstance(t, tuple):       # int8 + per-row scales
-        return t[0].astype(dtype) * t[1].astype(dtype)
+    if isinstance(t, tuple):
+        q, scale = t
+        if q.dtype == jnp.uint8:   # packed int4 nibbles
+            qi = q.astype(jnp.int32)
+            lo = (qi & 0xF) - 8
+            hi = (qi >> 4) - 8
+            full = jnp.stack([lo, hi], axis=-1).reshape(
+                q.shape[:-1] + (2 * q.shape[-1],))
+            return full.astype(dtype) * scale.astype(dtype)
+        return q.astype(dtype) * scale.astype(dtype)
     if t.dtype == jnp.bfloat16:
         return t.astype(dtype)
     return t

@@ -170,7 +170,7 @@ class SPOptions:
     # above compression_min_sep_size, lossy above lossy_min_sep_size
     hodlr_min_sep_size: int = 512
     lossy_min_sep_size: int = 8
-    lossy_precision: int = 16    # bits for LOSSY factor storage (8 or 16)
+    lossy_precision: int = 16    # bits for LOSSY factor storage (4, 8 or 16)
     # HODLR fronts switch to butterfly-compressed off-diagonal blocks
     # (HODBF) when > 0 (HODLROptions::butterfly_levels role); --sp_compression
     # hodbf implies it for all levels
@@ -214,7 +214,7 @@ class SPOptions:
             "--hodlr_rel_tol <float>  --hodlr_butterfly_levels <int>",
             "--sp_compression_min_sep_size <int>  "
             "--sp_compression_min_front_size <int>  "
-            "--sp_compression_leaf_size <int>  --sp_lossy_precision 8|16",
+            "--sp_compression_leaf_size <int>  --sp_lossy_precision 4|8|16",
         ):
             out.write("  " + line + "\n")
         out.write("# BLR options (--blr_*): leaf_size, max_rank, rel_tol, "

@@ -264,10 +264,11 @@ def test_spd_mixed_precision():
 
 
 def test_lossy_factor_compression():
-    """FrontLossy analog: quantized factor storage + IR recovery."""
+    """FrontLossy analog: quantized factor storage + IR recovery —
+    bf16 (2x), int8 + per-row scales (~4x), nibble-packed int4 (~8x)."""
     from strumpack_tpu import CompressionType
     A = poisson2d(30)
-    for bits in (16, 8):
+    for bits in (16, 8, 4):
         opts = SPOptions(compression=CompressionType.LOSSY,
                          compression_min_sep_size=16, lossy_precision=bits,
                          rel_tol=1e-8)
