@@ -1520,6 +1520,29 @@ def hbm_budget_bytes() -> int:
     return 16 * 10**9
 
 
+def static_factor_bytes(plan, itemsize: int = 4) -> int:
+    """Modeled STATIC factor storage of a plan at its current rank caps:
+    dense buckets at their exact sizes, BLR at the full [nts, nt, t, r]
+    U/V rectangles (masked ranks still allocate the cap), HSS/HODLR at
+    an O(s·r) generator model.  Drives the HBM-aware adaptive-rank gate
+    and capacity planning at 100^3 scale."""
+    total = 0
+    for lvl in plan.levels:
+        for bp in lvl:
+            nf, s, u, p = bp.nf, bp.s_pad, bp.u_pad, bp.p
+            if bp.blr:
+                t, r = max(bp.tile, 1), max(bp.max_rank, 1)
+                nts, nt = s // t, p // t
+                total += nf * (nts * t * t + nts * t
+                               + 4 * nts * nt * t * r)
+            elif bp.hss or bp.hodlr or bp.hodbf or bp.hss_sample:
+                r = max(bp.hss_rank, 1)
+                total += nf * (s * bp.hss_leaf + 6 * s * r + 2 * u * r)
+            else:
+                total += nf * (s * s + 2 * s * u)
+    return total * itemsize
+
+
 def factor_peak_bytes(pdev, itemsize: int) -> int:
     """Analytic peak device bytes of the whole-program factorization:
     accumulated factor storage plus the worst level's working set (front

@@ -284,6 +284,18 @@ class SparseSolver:
             for _ in range(4):
                 if not self.fac.rank_saturated():
                     break
+                # HBM-aware growth: static compressed-factor storage
+                # scales linearly with the caps; doubling past the device
+                # budget would OOM the very problem compression exists
+                # for (100^3-class) — stop growing instead
+                proj = 2 * numeric.static_factor_bytes(
+                    self.plan, np.dtype(opts.factor_dtype).itemsize)
+                if proj > 0.5 * numeric.hbm_budget_bytes():
+                    if opts.verbose:
+                        print("# adaptive rank restart SKIPPED: doubled "
+                              f"caps would need ~{proj/1e9:.1f} GB of "
+                              "factor storage (HBM budget)")
+                    break
                 grew = False
                 for lvl in self.plan.levels:
                     for bp in lvl:
