@@ -500,3 +500,26 @@ def test_blr_16cubed_mesh_balance():
     x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
     res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
     assert res < 1e-2, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_dist_csr_halo_spmv():
+    """CSRMatrixMPI role with a REAL halo structure: block-row partition,
+    split diag/off-diag ELL storage, one all_to_all moving O(surface)
+    halo entries per spmv (CSRMatrixMPI.hpp:239-240 persistent-buffer
+    exchange) instead of resharding the whole vector."""
+    from strumpack_tpu.parallel.dist_spmv import DistCSR
+    from strumpack_tpu.sparse.gen import poisson3d
+
+    A = poisson3d(14)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    D = DistCSR(A, mesh, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.n)
+    y = np.asarray(D.spmv(x))
+    assert np.abs(y - A.spmv(x)).max() < 1e-12
+    # halo traffic is the boundary, not the volume: per-device exchange
+    # nd*K words must be well under the all-gather's n words
+    assert 8 * D.halo_K < A.n, (D.halo_K, A.n)
+    D.set_values(A.data * 2.0)
+    assert np.abs(np.asarray(D.spmv(x)) - 2.0 * A.spmv(x)).max() < 1e-12
