@@ -788,8 +788,8 @@ def _factor_assembled(bp, F, thresh, tol, spd, hss_tol, pivoting):
         if getattr(bp, "cb_comp", 0) and CB.size:
             # memory-efficient variant: hand the parent a BLR-compressed
             # CB (FrontBLR F22blr_ role); extend-add densifies lazily
-            CB = _compress_cb(CB, bp.cb_comp, tol,
-                              max(bp.cb_comp // 4, 8))
+            r_cb = getattr(bp, "cb_rank", 0) or max(bp.cb_comp // 4, 8)
+            CB = _compress_cb(CB, bp.cb_comp, tol, r_cb)
         return "blr", (lud, perms, Uu, Vu, Ul, Vl, Du, Dl, rk), CB
     if spd:
         L, L21, CB = _factor_bucket_spd(F, bp.s_pad)
@@ -1342,13 +1342,13 @@ _GROUP_FN_CACHE = {}
 _GROUP_FN_CACHE_MAX = 256
 
 
-def _group_fn(kind, sig, make):
+def _group_fn(kind, sig, make, donate=()):
     key = (kind, sig)
     fn = _GROUP_FN_CACHE.get(key)
     if fn is None:
         if len(_GROUP_FN_CACHE) >= _GROUP_FN_CACHE_MAX:
             _GROUP_FN_CACHE.clear()
-        fn = jax.jit(make())
+        fn = jax.jit(make(), donate_argnums=donate)
         _GROUP_FN_CACHE[key] = fn
     return fn
 
@@ -1458,9 +1458,13 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
                               for x in jax.tree_util.tree_leaves(cb_list))
             sig = (_group_sig(pdev, lis), cb_sig, cb_shapes, dtype.name,
                    spd, hss_tol, matmul_precision, pivoting)
+            # donate the child-CB carry: without donation the previous
+            # level's CBs stay allocated for the whole dispatch while the
+            # new level's are written — a full extra level of HBM at
+            # 100^3 scale
             fn = _group_fn("factor", sig, lambda: partial(
                 _factor_group, _freeze_bds(pdev, lis), spd, hss_tol,
-                pivoting))
+                pivoting), donate=(2,))
             arrays_list = [pdev.level_arrays(li) for li in lis]
             out, cb_list = fn(arrays_list, vals_ext,
                               cb_list, jnp.asarray(thresh, rdt),
@@ -1468,6 +1472,19 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
             out = _remap_keys(out, lis)
             for k in tree:
                 tree[k].update(out[k])
+            if os.environ.get("STRUMPACK_TPU_MEMLOG"):
+                # per-group HBM accounting (device-memory diagnostics,
+                # gpu::peak_memory role): sync then read allocator stats
+                from ..utils.sync import device_sync
+                device_sync(cb_list)
+                try:
+                    st = jax.devices()[0].memory_stats() or {}
+                    print(f"# memlog groups<= {lis[-1]}: in_use="
+                          f"{st.get('bytes_in_use', 0)/1e9:.2f} GB peak="
+                          f"{st.get('peak_bytes_in_use', 0)/1e9:.2f} GB",
+                          flush=True)
+                except Exception:
+                    pass
     tree["fdt"] = jnp.zeros((0,), dtype)
     fac = Factors(pdev, dtype, tree)
     fac.spd = spd

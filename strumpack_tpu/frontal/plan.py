@@ -68,20 +68,25 @@ def pad_size(x: int) -> int:
 
 def chunk_cap_bytes() -> int:
     """Per-bucket working-set cap that triggers nf-chunked execution.
-    Default: 2 GB (an [nf_c, p, p] f32 assembly + factor pieces must fit
-    several times in a 16 GB HBM alongside factors and child CBs);
+    Default: 3 GB (an [nf_c, p, p] f32 assembly + factor pieces must fit
+    several times in a 16 GB HBM alongside factors and child CBs; the
+    64^3 exact plan's largest bucket models at 2.04 GB and must stay
+    UNCHUNKED — sequential chunks cost ~5% there for no benefit);
     override with STRUMPACK_TPU_CHUNK_GB."""
     import os
     env = os.environ.get("STRUMPACK_TPU_CHUNK_GB")
-    return int(float(env) * 1e9) if env else 2 * 10 ** 9
+    return int(float(env) * 1e9) if env else 3 * 10 ** 9
 
 
 def choose_chunks(nf: int, p: int, itemsize: int = 4) -> int:
     """Number of sequential chunks for an [nf, p, p] bucket: smallest
-    power of two so one chunk's modeled working set (~3 dense [p, p]
-    buffers per front) fits the cap."""
+    power of two so one chunk's modeled working set fits the cap.  The
+    multiplier is EIGHT dense [p, p] buffers per front: the 100^3 OOM
+    dumps show the extend-add gather path keeping ~6 [nf, p, p]
+    temporaries live (Cpad/G/GT/H per child pair) on top of F and the
+    factor outputs."""
     cap = chunk_cap_bytes()
-    per_front = 3 * p * p * itemsize
+    per_front = 8 * p * p * itemsize
     chunks = 1
     while chunks < nf and (nf // chunks) * per_front > cap:
         chunks *= 2
@@ -149,6 +154,7 @@ class BucketPlan:
     hss_sample: bool = False
     samp: dict = None            # device index arrays (ELL + CB pos maps)
     samp_meta: dict = None       # static ints: ds, off/stride/has per child
+    cb_rank: int = 0             # compressed-CB rank cap (0 = tile/4)
     # memory-bounded execution (FrontGPU split_smaller role at BUCKET
     # granularity): nf is processed in `chunks` sequential lax.scan steps
     # of nf/chunks fronts each, so one chunk's dense working set — not
@@ -309,6 +315,8 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     if (getattr(compression.blr, "cb_compression", False)
                             and up >= 128 and up % 64 == 0):
                         bp.cb_comp = 64
+                        bp.cb_rank = getattr(compression.blr,
+                                             "cb_rank_cap", 0)
                 elif eff == CT.LOSSY:
                     bp.lossy = getattr(compression, "lossy_precision", 16)
                 elif eff in (CT.HSS, CT.HODLR, CT.HODBF):

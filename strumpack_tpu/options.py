@@ -109,6 +109,9 @@ class BLROptions:
     # memory-efficient variant (FrontBLR.cpp:69 build_front_cols /
     # F22blr_): peak factor memory drops from the dense multifrontal's
     cb_compression: bool = False
+    # rank cap of the compressed-CB tiles (0 = tile/4): static BLRCB
+    # storage scales linearly with it — the HBM lever at 100^3 scale
+    cb_rank_cap: int = 0
 
 
 @dataclass
