@@ -153,9 +153,7 @@ class PlanDev:
         for lvl in self.levels:
             for bd in lvl:
                 bp = bd.bp
-                structured = (bp.hss or bp.hodlr or bp.hodbf
-                              or bp.hss_sample)
-                if getattr(bp, "chunks", 1) <= 1 or structured:
+                if getattr(bp, "chunks", 1) <= 1 or bp.hss_sample:
                     bp.chunks = 1
                     continue
                 nc, nf = bp.chunks, bp.nf
@@ -605,7 +603,7 @@ def _hss_front_bucket(F, bp, hss_tol, dtype):
             return H, bfS12, bf21, CB
         return H, S12, F21, CB
 
-    if bp.nf == 1:
+    if F.shape[0] == 1:
         H, S12, F21, CB = one(F[0])
         if use_bf:
             return H, S12, F21, CB[None]
@@ -804,6 +802,9 @@ def _factor_assembled(bp, F, thresh, tol, spd, hss_tol, pivoting):
 
 
 def _record_factors(out, key, tag, fac):
+    if tag == "hss":
+        out["hss"][key] = fac
+        return
     if tag == "blr":
         out["blr"][key] = fac[:8]
         out["blr_ranks"][key] = fac[8]
@@ -842,6 +843,8 @@ def _bucket_factor_chunked(bd, a, vals_ext, cb_list, thresh, tol, spd,
             pk.append((bk, u, key))
         pairs_ck[side] = pk
 
+    structured = bp.hss or bp.hodlr or bp.hodbf
+
     def body(carry, x):
         F = jnp.zeros((nfc, bp.p, bp.p), dtype=dtype)
         F = F.at[x["ab"], x["ar"], x["ac"]].add(vals_ext[x["av"]])
@@ -850,15 +853,39 @@ def _bucket_factor_chunked(bd, a, vals_ext, cb_list, thresh, tol, spd,
                 F = _extend_add_blocks(F, cb_list, x["pos" + side],
                                        pairs_ck[side], x,
                                        pallas_ok=False)
+        if structured:
+            H, S12, F21, CB = _hss_front_bucket(F, bp, hss_tol, dtype)
+            if getattr(bp, "cb_comp", 0) and CB.size:
+                r_cb = (getattr(bp, "cb_rank", 0)
+                        or max(bp.cb_comp // 4, 8))
+                CB = _compress_cb(CB, bp.cb_comp, tol, r_cb)
+            return carry, ((H, S12, F21), CB)
         tag, fac, CB = _factor_assembled(bp, F, thresh, tol, spd,
                                          hss_tol, pivoting)
         return carry, (fac, CB)
 
     _, (facs, CBs) = jax.lax.scan(body, 0, xs)
-    unstack = lambda t: jax.tree_util.tree_map(
-        lambda x: x.reshape((nc * x.shape[1],) + x.shape[2:]), t)
-    tag = ("blr" if bp.blr else ("spd" if spd else "lu"))
-    return tag, unstack(facs), unstack(CBs)
+
+    def merge(x):
+        return x.reshape((nc * nfc,) + x.shape[2:])
+
+    def keep(x):
+        return x
+
+    tmap = jax.tree_util.tree_map
+    if structured:
+        # batching inside one chunk is mixed: with nfc == 1 the one()
+        # path leaves H (and butterfly S12/F21) UNBATCHED — the scan
+        # axis is already the batch axis — while dense S12/F21/CB carry
+        # an explicit [1, ...] batch dim that must merge with it
+        H, S12, F21 = facs
+        fH = keep if nfc == 1 else merge
+        use_bf = bp.hodbf and bp.bf_D >= 2 and bp.u_pad > 0
+        fS = fH if use_bf else merge
+        fac_out = (tmap(fH, H), tmap(fS, S12), tmap(fS, F21))
+        return "hss", fac_out, tmap(merge, CBs)
+    tag = "blr" if bp.blr else ("spd" if spd else "lu")
+    return tag, tmap(merge, facs), tmap(merge, CBs)
 
 
 def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
@@ -876,7 +903,7 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
         out["hss"][key] = (H, S12, F21)
         return CB
     structured = bp.hss or bp.hodlr or bp.hodbf
-    if getattr(bp, "chunks", 1) > 1 and not structured:
+    if getattr(bp, "chunks", 1) > 1:
         tag, fac, CB = _bucket_factor_chunked(
             bd, a, vals_ext, cb_list, thresh, tol, spd, hss_tol,
             pivoting)
@@ -896,6 +923,9 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
         # rectangular butterflies.
         H, S12, F21, CB = _hss_front_bucket(F, bp, hss_tol, dtype)
         out["hss"][key] = (H, S12, F21)
+        if getattr(bp, "cb_comp", 0) and CB.size:
+            r_cb = getattr(bp, "cb_rank", 0) or max(bp.cb_comp // 4, 8)
+            CB = _compress_cb(CB, bp.cb_comp, tol, r_cb)
         return CB
     tag, fac, CB = _factor_assembled(bp, F, thresh, tol, spd, hss_tol,
                                      pivoting)

@@ -320,6 +320,14 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                 elif eff == CT.LOSSY:
                     bp.lossy = getattr(compression, "lossy_precision", 16)
                 elif eff in (CT.HSS, CT.HODLR, CT.HODBF):
+                    # structured fronts can hand their parents
+                    # BLR-compressed CBs too (F22blr_ role) — at 100^3
+                    # the top HODLR fronts' dense CBs are GB-scale
+                    if (getattr(compression.blr, "cb_compression", False)
+                            and up >= 128 and up % 64 == 0):
+                        bp.cb_comp = 64
+                        bp.cb_rank = getattr(compression.blr,
+                                             "cb_rank_cap", 0)
                     bf_levels = getattr(compression,
                                         "hodlr_butterfly_levels", 0)
                     if eff == CT.HSS:
