@@ -86,6 +86,12 @@ def choose_chunks(nf: int, p: int, itemsize: int = 4) -> int:
     temporaries live (Cpad/G/GT/H per child pair) on top of F and the
     factor outputs."""
     cap = chunk_cap_bytes()
+    # trip on the plain assembly model (3 dense buffers/front) so whole
+    # buckets that fit keep their single batched dispatch; once chunking
+    # IS needed, size chunks with the 8-buffer model (the extend-add
+    # gather path keeps ~6 [p, p] temporaries live inside the scan body)
+    if nf * 3 * p * p * itemsize <= cap:
+        return 1
     per_front = 8 * p * p * itemsize
     chunks = 1
     while chunks < nf and (nf // chunks) * per_front > cap:
