@@ -28,6 +28,37 @@ import numpy as np
 
 from .hss import _pad_pow2, _trunc_basis
 
+# Off-diagonal blocks wider than this are compressed with a randomized
+# range finder (matmul+QR+small SVD, O(ml^2 r)) instead of a full batched
+# SVD (O(ml^3)).  Root-class separators (ml up to ~9k at 100^3) made the
+# dense SVD both the compile-size and runtime hog of the factor program
+# (PERF.md 100^3 campaign item: >44 min root-group compile).
+RSVD_MIN = 512
+
+
+def _rand_lowrank_svd(A, q, key):
+    """Randomized rank-q factorization of batched A [..., m, n]:
+    returns (U, S, Vh) with q singular triplets, via one power iteration
+    (Halko-Martinsson-Tropp).  All matmuls + one [q, n] SVD — MXU-shaped,
+    tiny XLA program vs jnp.linalg.svd on the full block."""
+    dt = A.dtype
+    n = A.shape[-1]
+    Om = jax.random.normal(key, A.shape[:-2] + (n, q), dt)
+    Y = jnp.matmul(A, Om, preferred_element_type=dt)
+    Q, _ = jnp.linalg.qr(Y)
+    # one power iteration sharpens the range estimate for the slowly
+    # decaying spectra this cap-truncated format tolerates anyway
+    Z = jnp.matmul(jnp.swapaxes(A, -1, -2).conj(), Q,
+                   preferred_element_type=dt)
+    Qz, _ = jnp.linalg.qr(Z)
+    Y = jnp.matmul(A, Qz, preferred_element_type=dt)
+    Q, _ = jnp.linalg.qr(Y)
+    B = jnp.matmul(jnp.swapaxes(Q, -1, -2).conj(), A,
+                   preferred_element_type=dt)
+    Ub, S, Vh = jnp.linalg.svd(B, full_matrices=False)
+    U = jnp.matmul(Q, Ub, preferred_element_type=dt)
+    return U, S, Vh
+
 
 class HODLRMatrix:
     def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6):
@@ -64,8 +95,15 @@ class HODLRMatrix:
             i2 = i1 + 1
             A12 = Ar[i1, :, i2, :]    # [half, ml, ml]
             A21 = Ar[i2, :, i1, :]
-            U12, S12, V12 = jnp.linalg.svd(A12, full_matrices=False)
-            U21, S21, V21 = jnp.linalg.svd(A21, full_matrices=False)
+            if ml >= RSVD_MIN and r + 8 < ml:
+                q = r + 8
+                key = jax.random.fold_in(jax.random.PRNGKey(17), lev)
+                k1, k2 = jax.random.split(key)
+                U12, S12, V12 = _rand_lowrank_svd(A12, q, k1)
+                U21, S21, V21 = _rand_lowrank_svd(A21, q, k2)
+            else:
+                U12, S12, V12 = jnp.linalg.svd(A12, full_matrices=False)
+                U21, S21, V21 = jnp.linalg.svd(A21, full_matrices=False)
 
             def trunc(U, S, Vh):
                 # A ~= P @ Q with P [ml, r] = U*S, Q [r, ml] = Vh rows;

@@ -72,6 +72,26 @@ def test_hodlr_matvec_solve():
     assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-7
 
 
+def test_hodlr_randomized_compression_large_blocks():
+    """Blocks at or above RSVD_MIN go through the randomized range finder
+    (the dense-SVD path was the root-group compile/runtime hog at 100^3,
+    PERF.md); the approximation at the rank cap must match the dense-SVD
+    quality closely enough to solve through."""
+    from strumpack_tpu.structured import hodlr as H
+    assert H.RSVD_MIN <= 1024  # the test must actually hit the path
+    m = 2 * H.RSVD_MIN  # top-level off-diagonal blocks are RSVD-compressed
+    A = cauchyish(m, seed=7)
+    Hm = H.HODLRMatrix(A, leaf_size=max(64, H.RSVD_MIN // 8),
+                       max_rank=96, rel_tol=1e-9)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((m, 2))
+    b = A @ x
+    assert (np.linalg.norm(np.asarray(Hm.matvec(x)) - b)
+            < 1e-5 * np.linalg.norm(b))
+    xs = np.asarray(Hm.solve(b))
+    assert np.linalg.norm(xs - x) / np.linalg.norm(x) < 1e-4
+
+
 def test_kernel_regression_classification():
     """Two-moons-ish binary classification via HSS kernel ridge
     (STRUMPACKKernel sklearn-estimator analog)."""
