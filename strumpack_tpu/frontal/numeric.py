@@ -564,7 +564,7 @@ def _dequantize(t, dtype):
     return t
 
 
-def _hss_front_bucket(F, bp, hss_tol, dtype):
+def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None):
     """Batched HSS/HODLR/HODBF partial factorization of a bucket via vmap:
     each front compresses + factors F11 and forms the explicit Schur
     pieces; the per-front structured objects are pytrees, so vmap returns
@@ -586,8 +586,13 @@ def _hss_front_bucket(F, bp, hss_tol, dtype):
                           max_rank=bp.hss_rank, rel_tol=hss_tol)
         else:
             from ..structured.hodlr import HODLRMatrix
+            # constrain only reaches the unbatched (nf == 1) path — the
+            # mesh 'struct' mode distributing ONE large front's block
+            # axis; under vmap sharding constraints would rank-mismatch
             H = HODLRMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
-                            max_rank=bp.hss_rank, rel_tol=hss_tol)
+                            max_rank=bp.hss_rank, rel_tol=hss_tol,
+                            constrain=(constrain if F.shape[0] == 1
+                                       else None))
         H.factor()
         F12 = F0[:sH, sH:]
         F21 = F0[sH:, :sH]

@@ -42,8 +42,16 @@ split-program mode (the mesh analog of the single-chip
 each segment is its own jitted dispatch with the sharded CB carry
 passed between dispatches, so 64^3-class plans execute under the mesh.
 
-HSS/HODLR fronts with small batches remain replicated (FrontHSSMPI is
-per-front-distributed only); the work model reports them honestly.
+* **struct-distributed HODLR fronts** ("struct"): a single large HODLR
+  front factored with block-axis sharding constraints on every internal
+  array (leaf LUs, per-level low-rank factors, SMW blocks — HODLRMatrix
+  ``constrain``), so the compression and SMW matmuls partition over the
+  mesh — the FrontHODLRMPI intra-front distribution role
+  (FrontHODLR.cpp + HODLRMatrixMPI in the reference's ButterflyPACK
+  wrapper stack).
+
+HSS and HODBF fronts with small batches remain replicated; the work
+model reports them honestly.
 """
 from __future__ import annotations
 
@@ -101,13 +109,39 @@ def _tile_diag_flops(bp) -> float:
     return bp.nf * nts * (2.0 / 3.0) * t ** 3
 
 
+def _struct_repl_flops(bp, ndev) -> float:
+    """Replicated portion of a struct-mode HODLR front: the level terms
+    whose block batch is smaller than the device count (QR/SVD of the
+    randomized compression and the capacitance LUs can only shard over
+    the block-pair axis; the big matmuls also shard over block rows, so
+    they distribute even at the top levels)."""
+    from ..structured.hss import _pad_pow2
+    t = max(int(bp.hss_leaf), 1)
+    mp, L = _pad_pow2(bp.s_pad, t)
+    r = max(int(bp.hss_rank), 8)
+    q = r + 8
+    fl = 0.0
+    for lev in range(L):
+        half = 2 ** lev
+        if half >= ndev:
+            continue
+        ml = mp // (2 * half)
+        # QR [ml, q] x2 sweeps + SVD of [q, ml] per off-diag block pair,
+        # plus the [2r, 2r] capacitance LU — batch-only shardable
+        fl += 2 * half * (4.0 * ml * q * q + 10.0 * q * q * ml)
+        fl += half * (2.0 / 3.0) * (2 * r) ** 3
+    return bp.nf * fl
+
+
 def choose_modes(pdev, mesh, blk2d=None):
     """Per-bucket execution mode over the mesh:
 
       'shard' — front batch split over the flattened mesh axes
       'grid'  — large dense front: 2D grid-sharded partial LU
       'tile'  — large BLR front: tile-sharded compression + factor
-      'repl'  — computed redundantly (small tail, or structured fronts
+      'struct' — large single HODLR front: block-axis-sharded
+                compression + SMW factorization
+      'repl'  — computed redundantly (small tail, or HSS/HODBF fronts
                 without an intra-front distribution yet)
 
     Returns (modes, report); report carries the replicated-work fraction
@@ -137,6 +171,16 @@ def choose_modes(pdev, mesh, blk2d=None):
                 diag = min(_tile_diag_flops(bp), fl)
                 repl_fl += diag
                 max_dev += diag + (fl - diag) / ndev
+            elif (ndev > 1 and bp.hodlr and not bp.hodbf and bp.nf == 1
+                    and bp.s_pad >= 4 * BIG_P):
+                # intra-front-distributed structured front (FrontHODLRMPI
+                # role): the HODLR block arrays carry mesh sharding
+                # constraints, so compression/SMW matmuls partition over
+                # the block axes (hodlr.py HODLRMatrix ``constrain``)
+                modes[(li, bi)] = "struct"
+                rp = min(_struct_repl_flops(bp, ndev), fl)
+                repl_fl += rp
+                max_dev += rp + (fl - rp) / ndev
             else:
                 modes[(li, bi)] = "repl"
                 repl_fl += fl
@@ -270,7 +314,7 @@ class ShardedPlan:
                 mode = self.modes[(li, bi)]
                 bp = bd.bp
                 nf = bp.nf
-                if mode in ("grid", "tile"):
+                if mode in ("grid", "tile", "struct"):
                     self.big[f"{li},{bi}"] = _put_repl(bd.host_arrays,
                                                        mesh)
                     row.append(None)
@@ -336,7 +380,7 @@ class ShardedPlan:
         budget = numeric.SPLIT_SOLVE_BUCKETS
         segs, cur, cnt = [], [], 0
         for li, lvl in enumerate(self.pdev.levels):
-            has_big = any(self.modes[(li, bi)] in ("grid", "tile")
+            has_big = any(self.modes[(li, bi)] in ("grid", "tile", "struct")
                           for bi in range(len(lvl)))
             if has_big:
                 if cur:
@@ -400,7 +444,32 @@ def _tree_merge(tree, frag):
 # big-front (grid / tile) numeric steps — GSPMD, outside shard_map
 # ---------------------------------------------------------------------------
 
-def _big_factor(sp, li, bi, bigs, vals_ext, cb_full, th, tol, out):
+def _struct_constrain(sp):
+    """Block-axis sharding-constraint callback for struct-mode HODLR
+    fronts: shard axis 0 (the leaf/block-pair batch) over the flattened
+    mesh when divisible, else fall back to the block-row axis — every
+    HODLR level then has one mesh-partitioned axis."""
+    cached = getattr(sp, "_struct_con", None)
+    if cached is not None:
+        return cached
+    mesh, axes = sp.mesh, sp.axes
+    ndev = sp.ndev
+
+    def con(x):
+        if x.ndim >= 1 and x.shape[0] % ndev == 0 and x.shape[0] > 1:
+            spec = P(axes, *([None] * (x.ndim - 1)))
+        elif x.ndim >= 2 and x.shape[1] % ndev == 0 and x.shape[1] > 1:
+            spec = P(None, axes, *([None] * (x.ndim - 2)))
+        else:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, spec))
+    sp._struct_con = con
+    return con
+
+
+def _big_factor(sp, li, bi, bigs, vals_ext, cb_full, th, tol, out,
+                hss_tol=1e-4):
     """Assemble + factor one grid/tile front from mesh-global arrays.
     cb_full entries are global child-CB arrays (shard-produced entries
     are full [nf, u, u]; repl-produced are stacked — rows 0..nf-1 hold
@@ -433,6 +502,23 @@ def _big_factor(sp, li, bi, bigs, vals_ext, cb_full, th, tol, out):
         out["perm"][key] = perm
         out["L21"][key] = L21
         out["U12"][key] = U12
+        return CB
+    if mode == "struct":
+        # intra-front-distributed HODLR front: shard the assembled front
+        # over the mesh grid, then run the structured factor with block-
+        # axis sharding constraints on every HODLR-internal array — GSPMD
+        # partitions the compression/SMW matmuls (FrontHODLRMPI role)
+        F = jax.lax.with_sharding_constraint(
+            F, NamedSharding(mesh, P(None, sp.row_axes or None,
+                                     sp.col_axes[0] if sp.col_axes
+                                     else None)))
+        H, S12, F21, CB = numeric._hss_front_bucket(
+            F, bp, hss_tol, dtype, constrain=_struct_constrain(sp))
+        out["hss"][key] = (H, S12, F21)
+        if getattr(bp, "cb_comp", 0) and CB.size:
+            CB = numeric._compress_cb(
+                CB, bp.cb_comp, tol,
+                getattr(bp, "cb_rank", 0) or max(bp.cb_comp // 4, 8))
         return CB
     # tile: BLR factor with the tile grid sharded over the mesh
     from ..frontal import blr as B
@@ -591,9 +677,10 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         if kind == "mixed":
             li = lis[0]
             for bi in range(len(pdev.levels[li])):
-                if sp.modes[(li, bi)] in ("grid", "tile"):
+                if sp.modes[(li, bi)] in ("grid", "tile", "struct"):
                     cb = _big_factor(sp, li, bi, bigs, vals_ext,
-                                     cb_carry, th, tol, frag)
+                                     cb_carry, th, tol, frag,
+                                     hss_tol=hss_tol)
                     # a big CB re-enters the next shard_map region with
                     # in_spec P(): force it REPLICATED here — GSPMD may
                     # otherwise leave it sharded from the grid/tile
@@ -619,7 +706,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         if kind == "mixed":
             li = lis[0]
             for bi in range(len(pdev.levels[li])):
-                if sp.modes[(li, bi)] in ("grid", "tile"):
+                if sp.modes[(li, bi)] in ("grid", "tile", "struct"):
                     y, cbv = _big_fwd(sp, li, bi, bigs, big_tree, bext,
                                       cbv_carry)
                     ys_big[f"{li},{bi}"] = y
@@ -632,7 +719,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         if kind == "mixed":
             li = lis[0]
             for bi in range(len(pdev.levels[li])):
-                if sp.modes[(li, bi)] in ("grid", "tile"):
+                if sp.modes[(li, bi)] in ("grid", "tile", "struct"):
                     xext = _big_bwd(sp, li, bi, bigs, big_tree,
                                     ys_big[f"{li},{bi}"], xext)
         xs = smap(

@@ -61,7 +61,16 @@ def _rand_lowrank_svd(A, q, key):
 
 
 class HODLRMatrix:
-    def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6):
+    def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6,
+                 constrain=None):
+        """``constrain`` is an optional GSPMD sharding-constraint callback
+        applied to every batched internal array (leaf blocks [nl, t, t],
+        per-level off-diagonal factors [half, ml, r], SMW blocks): the
+        mesh execution path (parallel/spmd.py 'struct' mode) passes one
+        that shards the block axis over the device mesh, distributing a
+        single large front's compression + factorization — the
+        FrontHODLRMPI intra-front distribution role
+        (reference HODLR/HODLRMatrixMPI, FrontHODLRMPI.cpp)."""
         A = jnp.asarray(A)
         self.m = A.shape[0]
         self.t = int(leaf_size)
@@ -69,6 +78,7 @@ class HODLRMatrix:
         self.r = int(max_rank) if max_rank else max(8, self.t // 2)
         self.rel_tol = rel_tol
         self.dtype = A.dtype
+        self._constrain = constrain if constrain is not None else _ident
         self._compress(A)
         self._factored = False
 
@@ -82,8 +92,9 @@ class HODLRMatrix:
         else:
             Ap = A
         nl = 2 ** L
-        self.D = Ap.reshape(nl, t, nl, t).transpose(0, 2, 1, 3)[
-            jnp.arange(nl), jnp.arange(nl)]
+        self.D = self._constrain(
+            Ap.reshape(nl, t, nl, t).transpose(0, 2, 1, 3)[
+                jnp.arange(nl), jnp.arange(nl)])
         # per level l (pairs at level l, child block m_l): off-diag factors
         self.P12, self.Q12, self.P21, self.Q21 = [], [], [], []
         self.rank_arrays = []
@@ -129,11 +140,14 @@ class HODLRMatrix:
 
             P12, Q12, k1 = trunc(U12, S12, V12)
             P21, Q21, k2 = trunc(U21, S21, V21)
-            self.rank_arrays.append(jnp.maximum(k1.max(), k2.max()))
-            self.P12.append(P12)
-            self.Q12.append(Q12)
-            self.P21.append(P21)
-            self.Q21.append(Q21)
+            # [1]-shaped, not scalar: these leaves cross shard_map
+            # boundaries in the mesh path, whose out_specs need rank >= 1
+            self.rank_arrays.append(jnp.maximum(k1.max(), k2.max())[None])
+            c = self._constrain
+            self.P12.append(c(P12))
+            self.Q12.append(c(Q12))
+            self.P21.append(c(P21))
+            self.Q21.append(c(Q21))
 
     # ------------------------------------------------------------------
     def matvec(self, x):
@@ -191,7 +205,7 @@ class HODLRMatrix:
             U = U.at[:, :ml, :r].set(self.P12[li])
             U = U.at[:, ml:, r:].set(self.P21[li])
             Yp = chain_apply(U.reshape(mp, 2 * r), li)
-            Yp = Yp.reshape(half, 2 * ml, 2 * r)
+            Yp = self._constrain(Yp.reshape(half, 2 * ml, 2 * r))
             # V^T restricted: rows = [[0, Q12],[Q21, 0]] layout
             Vt = jnp.zeros((half, 2 * r, 2 * ml), dt)
             Vt = Vt.at[:, :r, ml:].set(self.Q12[li])
@@ -242,6 +256,10 @@ class HODLRMatrix:
             if self.rank_arrays else 0
 
 
+def _ident(x):
+    return x
+
+
 def _lu_app(lu, perm, b):
     bp = jnp.take_along_axis(b, perm[..., None], axis=-2)
     if TS.use_loopfree(lu.dtype) and lu.ndim == 3:
@@ -272,7 +290,7 @@ def _hodlr_unflatten(aux, children):
 
 
 _HODLR_STATIC = ("m", "t", "mp", "L", "r", "rel_tol", "dtype",
-                 "_factored")
+                 "_factored", "_constrain")
 
 jax.tree_util.register_pytree_node(HODLRMatrix, _hodlr_flatten,
                                    _hodlr_unflatten)

@@ -523,3 +523,47 @@ def test_dist_csr_halo_spmv():
     assert 8 * D.halo_K < A.n, (D.halo_K, A.n)
     D.set_values(A.data * 2.0)
     assert np.abs(np.asarray(D.spmv(x)) - 2.0 * A.spmv(x)).max() < 1e-12
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_struct_mode_hodlr_front_distributed():
+    """Intra-front-distributed HODLR root (FrontHODLRMPI role): the root
+    bucket runs in 'struct' mode — block-axis sharding constraints on the
+    HODLR-internal arrays — and the mesh solve matches the single-chip
+    HODLR residual."""
+    from strumpack_tpu import CompressionType, SPOptions
+    from strumpack_tpu.parallel import spmd
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    nx = 24
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    opts = SPOptions(compression=CompressionType.HODLR,
+                     compression_min_sep_size=512)
+    opts.hss.leaf_size = 64
+    opts.hss.max_rank = 64
+    opts.hss.rel_tol = 1e-8
+    plan = build_plan(Ap, tree, upd, compression=opts)
+    assert any(bp.hodlr for lvl in plan.levels for bp in lvl)
+    pdev = numeric.PlanDev(plan)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    modes, report = spmd.choose_modes(pdev, mesh)
+    assert any(m == "struct" for m in modes.values()), modes
+    b = Ap.spmv(np.ones(Ap.n))
+
+    res = {}
+    for nd in (1, 8):
+        m = Mesh(np.array(jax.devices()[:nd]), ("b",))
+        fn = spmd.make_sharded_factor_solve(pdev, m, dtype=jnp.float64,
+                                            hss_tol=1e-8)
+        x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+        res[nd] = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    # rank-capped HODLR direct application is approximate; contract:
+    # distributed == single-chip up to sharding roundoff
+    assert res[8] < 1e-2, res
+    assert abs(res[8] - res[1]) <= 1e-9 + 0.05 * res[1], res
