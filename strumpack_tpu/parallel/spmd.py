@@ -456,9 +456,12 @@ def _struct_constrain(sp):
     ndev = sp.ndev
 
     def con(x):
-        if x.ndim >= 1 and x.shape[0] % ndev == 0 and x.shape[0] > 1:
+        # only shard axes with >= 8 rows per device: constraining tiny
+        # arrays forces XLA into full-remat reshards for no gain
+        if x.ndim >= 1 and x.shape[0] % ndev == 0 and x.shape[0] >= 8 * ndev:
             spec = P(axes, *([None] * (x.ndim - 1)))
-        elif x.ndim >= 2 and x.shape[1] % ndev == 0 and x.shape[1] > 1:
+        elif (x.ndim >= 2 and x.shape[1] % ndev == 0
+                and x.shape[1] >= 8 * ndev):
             spec = P(None, axes, *([None] * (x.ndim - 2)))
         else:
             return x
