@@ -456,17 +456,19 @@ def _struct_constrain(sp):
     ndev = sp.ndev
 
     def con(x):
-        # only shard axes with >= 8 rows per device: constraining tiny
-        # arrays forces XLA into full-remat reshards for no gain
-        if x.ndim >= 1 and x.shape[0] % ndev == 0 and x.shape[0] >= 8 * ndev:
-            spec = P(axes, *([None] * (x.ndim - 1)))
-        elif (x.ndim >= 2 and x.shape[1] % ndev == 0
-                and x.shape[1] >= 8 * ndev):
-            spec = P(None, axes, *([None] * (x.ndim - 2)))
-        else:
+        # shard the LARGEST eligible axis; only axes with >= 8 rows per
+        # device — constraining tiny arrays forces XLA into full-remat
+        # reshards for no gain
+        best, bestlen = -1, 0
+        for ax, ln in enumerate(getattr(x, "shape", ())):
+            if ln % ndev == 0 and ln >= 8 * ndev and ln > bestlen:
+                best, bestlen = ax, ln
+        if best < 0:
             return x
+        spec = [None] * x.ndim
+        spec[best] = axes
         return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, spec))
+            x, NamedSharding(mesh, P(*spec)))
     sp._struct_con = con
     return con
 
