@@ -1,12 +1,15 @@
 """Benchmark: multifrontal factorization throughput on one TPU chip.
 
 Measures the BASELINE.md configs and prints one JSON line per metric
-(`{"metric", "value", "unit", "vs_baseline"}`), the HEADLINE 32^3 exact-LU
-line LAST:
+(`{"metric", "value", "unit", "vs_baseline"}`).  The HEADLINE 32^3
+exact-LU line is printed (and flushed) the moment it is measured, BEFORE
+any extras, and re-printed as the final line so a last-JSON-line parser
+also sees it:
 
+  poisson3d_32_factor_gflops   32^3 exact f32 LU (headline)
   poisson3d_64_factor_gflops   64^3 exact f32 LU, split-program mode
   poisson3d_50_blr_factor_seconds   50^3 BLR tol 1e-4 + GMRES (config 2)
-  poisson3d_32_factor_gflops   32^3 exact f32 LU (headline)
+  poisson3d_100_hodlr_factor_seconds  100^3 BLR+HODLR (config 3), opt-in
 
 vs_baseline compares the achieved factorization GFlop/s against
 SuiteSparse-class host performance measured in-process: scipy SuperLU
@@ -18,11 +21,15 @@ every bench run would dwarf the benchmark itself).
 
 Each config runs in its own child process (a fresh process re-establishes
 the tunnel-attached backend cleanly after a dropped dispatch) under a
-total time budget (BENCH_BUDGET_S, default 2400 s): the headline config
-always runs; extras are skipped, not failed, when over budget.
+total time budget (BENCH_BUDGET_S, default 1500 s): the headline config
+always runs; extras are skipped, not failed, when over budget.  A SIGTERM
+from an outer `timeout` wrapper re-emits the headline and exits 0 so the
+round's number is never lost (round 3 lost its number exactly this way:
+BENCH_r03.json rc=124, parsed=null).
 """
 import json
 import os
+import signal
 import sys
 import time
 
@@ -108,6 +115,14 @@ def _build(nx, blr=False):
 
 
 def main():
+    if os.environ.get("BENCH_FAKE"):   # harness self-test: no device work
+        cfg = os.environ.get("BENCH_CONFIG", "exact32")
+        time.sleep(float(os.environ.get(f"BENCH_FAKE_SLEEP_{cfg}", "0")))
+        print(json.dumps({"metric": f"fake_{cfg}", "value": 1.0,
+                          "unit": "x", "vs_baseline": 1.0,
+                          **({"superlu_gflops": 1.0}
+                             if cfg == "exact32" else {})}))
+        return
     import jax
     cache = os.environ.get("JAX_CACHE_DIR",
                            os.path.expanduser("~/.cache/strumpack_tpu_jax"))
@@ -220,61 +235,102 @@ def main():
     raise SystemExit(f"unknown BENCH_CONFIG {config}")
 
 
+_CURRENT_CHILD = None            # Popen of the in-flight config child
+_HEADLINE = {"line": None}       # set once exact32 is measured
+
+
 def _run_child(config, timeout, env_extra=None):
     import subprocess
+    global _CURRENT_CHILD
     env = dict(os.environ, STRUMPACK_BENCH_CHILD="1", BENCH_CONFIG=config)
     if env_extra:
         env.update(env_extra)
     try:
-        out = subprocess.run(
+        _CURRENT_CHILD = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=timeout)
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        stdout, stderr = _CURRENT_CHILD.communicate(timeout=timeout)
+        rc = _CURRENT_CHILD.returncode
     except Exception as e:  # TimeoutExpired etc.
+        try:
+            _CURRENT_CHILD.kill()
+            _CURRENT_CHILD.communicate(timeout=30)
+        except Exception:
+            pass
         return None, f"{type(e).__name__}: {e}"
-    sys.stderr.write(out.stderr[-4000:])
-    lines = [l for l in out.stdout.splitlines()
+    finally:
+        _CURRENT_CHILD = None
+    sys.stderr.write(stderr[-4000:])
+    sys.stderr.flush()
+    lines = [l for l in stdout.splitlines()
              if l.startswith("{") and '"metric"' in l]
-    if out.returncode == 0 and lines:
+    if rc == 0 and lines:
         return json.loads(lines[-1]), None
-    return None, f"rc={out.returncode} stdout={out.stdout[-500:]}"
+    return None, f"rc={rc} stdout={stdout[-500:]}"
+
+
+def _on_term(signum, frame):
+    """Outer-timeout safety net: kill the in-flight child, re-emit the
+    headline as the final JSON line, and exit green if we have a number."""
+    child = _CURRENT_CHILD
+    if child is not None:
+        try:
+            child.kill()
+        except Exception:
+            pass
+    if _HEADLINE["line"] is not None:
+        sys.stdout.write(json.dumps(_HEADLINE["line"]) + "\n")
+        sys.stdout.flush()
+        os._exit(0)
+    os._exit(124)
 
 
 def main_with_retry():
     """Run each config in a child process (retrying the headline on
-    tunnel/device hiccups), print extras first and the headline LAST."""
+    tunnel/device hiccups).  The headline prints IMMEDIATELY when
+    measured, extras as they come, and the headline again LAST."""
     if os.environ.get("STRUMPACK_BENCH_CHILD"):
         return main()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
 
     headline, last_err = None, None
     for attempt in range(3):
-        headline, last_err = _run_child("exact32", timeout=1800)
+        remaining = budget - (time.perf_counter() - t_start)
+        if attempt and remaining < 120:
+            break
+        headline, last_err = _run_child(
+            "exact32", timeout=max(min(remaining, 1200), 300))
         if headline is not None:
             break
         time.sleep(10)
     if headline is None:
         raise SystemExit(f"bench failed after retries: {last_err}")
     superlu = headline.pop("superlu_gflops", 0)
+    _HEADLINE["line"] = headline
+    print(json.dumps(headline), flush=True)      # headline FIRST, flushed
     extra_env = {"BENCH_SUPERLU_GFLOPS": str(superlu)}
 
-    extras = []
-    for config in ("exact64", "blr50"):
+    extra_configs = ["exact64", "blr50"]
+    if os.environ.get("BENCH_100", ""):
+        extra_configs.append("hodlr100")
+    for config in extra_configs:
         remaining = budget - (time.perf_counter() - t_start)
-        if remaining < 300:
+        if remaining < 240:
             print(f"# skipping {config}: bench budget exhausted "
                   f"({remaining:.0f}s left)", file=sys.stderr)
             continue
-        line, err = _run_child(config, timeout=min(remaining, 2400),
+        line, err = _run_child(config, timeout=remaining - 30,
                                env_extra=extra_env)
         if line is not None:
-            extras.append(line)
+            print(json.dumps(line), flush=True)  # flushed when measured
         else:
             print(f"# {config} failed: {err}", file=sys.stderr)
 
-    for line in extras:
-        print(json.dumps(line))
-    print(json.dumps(headline))
+    print(json.dumps(headline), flush=True)      # headline again LAST
 
 
 if __name__ == "__main__":
