@@ -452,9 +452,15 @@ def _factor_bucket(F, thresh, s_pad, pivoting=True):
                 F, thresh=thresh, s_pad=s, pivot=pivoting)
             lu, L21, U12, CB = PL.unpack_factors(packed, s)
             return lu, perm, L21, U12, CB
-        if p <= PP.MAX_PANEL_P:
-            # large fronts: blocked panel LU (Pallas panel kernel + MXU
-            # inter-panel gemms, no XLA while loops)
+        if (p <= PP.MAX_PANEL_P
+                and os.environ.get("STRUMPACK_TPU_PANEL")):
+            # ablation only: Pallas blocked panel LU.  The default large-
+            # front path is now the XLA blocked one below — device loops
+            # cost ~0.3 us/iter on this platform (re-measured round 4;
+            # the 0.65 ms/iter host-stepping that motivated the panel
+            # kernels is gone), XLA's blocked lu/trsm run at 0.6-6 TF/s,
+            # and the panel kernels cost 30-80 s of Mosaic compile per
+            # bucket shape — the round-3 cold-compile dominator.
             return PP.blocked_factor_bucket(F, thresh, s,
                                             pivoting=pivoting)
     if not pivoting:
@@ -506,7 +512,10 @@ def _factor_bucket_spd(F, s_pad):
             packed, _ = PL.pallas_factor_bucket(
                 F, thresh=0.0, s_pad=sp, pivot=False)
             lu, L21, _, CB = PL.unpack_factors(packed, sp)
-        elif p <= PP.MAX_PANEL_P:
+        elif (p <= PP.MAX_PANEL_P
+              and os.environ.get("STRUMPACK_TPU_PANEL")):
+            # ablation only — see _factor_bucket: XLA cholesky below is
+            # the default large-front SPD path (compile cost)
             lu, _, L21, _, CB = PP.blocked_factor_bucket(
                 F, 0.0, sp, pivoting=False)
         if lu is not None:

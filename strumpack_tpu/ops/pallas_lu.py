@@ -266,13 +266,20 @@ def _cross_bb(p, s, u, nf):
 
 
 def use_cross(s, p, nf):
-    """Routing predicate for the cross-shape partial-factor kernel."""
+    """Routing predicate for the cross-shape partial-factor kernel.
+
+    Wide fronts (p > 128) qualify only when a full-lane block (bb >=
+    _LANES) fits VMEM: sub-lane blocks force Mosaic into per-op
+    relayouts and an ~80 s kernel compile (measured at nf=64 s=64 u=256,
+    bb=32 — the round-3 cold-compile pathology), while the XLA blocked
+    path factors the same bucket at >600 GF/s after a ~1 s compile."""
     if not (0 < s < p and s >= 8):
         return False
     if p <= MAX_CROSS_P:
         return True
+    bb = _cross_bb(p, s, p - s, nf)
     return (p <= MAX_CROSS_WIDE_P and nf >= MIN_CROSS_WIDE_NF
-            and _cross_bb(p, s, p - s, nf) is not None)
+            and bb is not None and bb >= _LANES)
 
 
 @partial(jax.jit, static_argnames=("s_pad", "bb", "pivot", "interpret"))
