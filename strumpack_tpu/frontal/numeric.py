@@ -20,6 +20,7 @@ level-batched traversal (FrontGPU.cpp:470-640) and the two-phase solve
 """
 from __future__ import annotations
 
+import time
 import os
 from functools import partial
 
@@ -1025,7 +1026,7 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
         s = bp.s_pad
         L = fac_tree["lu"][key]
         L21 = fac_tree["L21"][key]
-        if TS.use_loopfree(dtype):
+        if TS.use_loopfree(dtype, L.shape[-1]):
             y = TS.trsm_lower(L, bloc[:, :s])
         else:
             y = jax.lax.linalg.triangular_solve(
@@ -1037,7 +1038,7 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
         perm = fac_tree["perm"][key]
         L21 = _dequantize(fac_tree["L21"][key], dtype)
         bsep = jnp.take_along_axis(bloc[:, :s], perm[:, :, None], 1)
-        if TS.use_loopfree(dtype):
+        if TS.use_loopfree(dtype, lu.shape[-1]):
             y = TS.trsm_lower(lu, bsep, unit=True)
         else:
             y = jax.lax.linalg.triangular_solve(
@@ -1093,7 +1094,7 @@ def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext, delta=False):
         L21 = fac_tree["L21"][key]
         z = y - jnp.matmul(L21.conj().transpose(0, 2, 1), xupd,
                            preferred_element_type=dtype)
-        if TS.use_loopfree(dtype):
+        if TS.use_loopfree(dtype, L.shape[-1]):
             xsep = TS.trsm_upper(L.conj().transpose(0, 2, 1), z)
         else:
             xsep = jax.lax.linalg.triangular_solve(
@@ -1103,7 +1104,7 @@ def _bucket_bwd_step(li, bi, bd, a, fac_tree, y, xext, delta=False):
         lu = _dequantize(fac_tree["lu"][key], dtype)
         U12 = _dequantize(fac_tree["U12"][key], dtype)
         z = y - jnp.matmul(U12, xupd, preferred_element_type=dtype)
-        if TS.use_loopfree(dtype):
+        if TS.use_loopfree(dtype, lu.shape[-1]):
             xsep = TS.trsm_upper(lu, z)
         else:
             xsep = jax.lax.linalg.triangular_solve(
@@ -1397,6 +1398,37 @@ def _group_fn(kind, sig, make, donate=()):
     return fn
 
 
+# AOT-compiled split-mode group executables, keyed by (kind, sig): the
+# compile server behind the remote-compile tunnel handles concurrent
+# compiles (measured ~2.3x wall with 4 threads round 4), so cold-start
+# compiles all of a plan's distinct group programs in parallel instead
+# of paying them serially level by level.
+_EXEC_CACHE = {}
+_EXEC_CACHE_MAX = 256
+
+
+def _aot_compile_parallel(items):
+    """items: list of (key, jax.stages.Lowered).  Compile every program
+    not already in _EXEC_CACHE concurrently and populate the cache.
+    Tracing/lowering stays on the caller's thread (single-threaded);
+    only backend compilation fans out."""
+    import concurrent.futures as cf
+    todo = [(k, low) for k, low in items if k not in _EXEC_CACHE]
+    if not todo:
+        return
+    if len(_EXEC_CACHE) + len(todo) >= _EXEC_CACHE_MAX:
+        _EXEC_CACHE.clear()
+    if len(todo) == 1:
+        k, low = todo[0]
+        _EXEC_CACHE[k] = low.compile()
+        return
+    def comp(kv):
+        k, low = kv
+        _EXEC_CACHE[k] = low.compile()
+    with cf.ThreadPoolExecutor(max_workers=min(8, len(todo))) as ex:
+        list(ex.map(comp, todo))
+
+
 class _FrozenBD:
     """Immutable snapshot of a BucketDev's trace-time fields.  Cached
     group programs close over these instead of the live BucketDevs: the
@@ -1495,13 +1527,28 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
     with jax.default_matmul_precision(matmul_precision):
         vals_ext = jnp.concatenate(
             [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
-        cb_list = []
-        for lis in _level_groups(pdev, SPLIT_SOLVE_BUCKETS):
-            cb_sig = jax.tree_util.tree_structure(cb_list)
-            cb_shapes = tuple((tuple(x.shape), x.dtype.name)
-                              for x in jax.tree_util.tree_leaves(cb_list))
+        th_c = jnp.asarray(thresh, rdt)
+        tol_c = jnp.asarray(blr_tol, rdt)
+        groups = _level_groups(pdev, GROUP_BUDGET)
+        # pass 1: lower every group program against ABSTRACT CB carries
+        # (chained via Lowered.out_info), then compile all distinct
+        # programs concurrently — cold start pays max(compile) across
+        # groups instead of the serial sum
+        arrays_lists, keys, lows = [], [], []
+        cb_av = []
+        vals_av = jax.ShapeDtypeStruct(vals_ext.shape, vals_ext.dtype)
+        s_av = jax.ShapeDtypeStruct((), rdt)
+        ok_aot = True
+        t_phase = time.perf_counter()
+        for lis in groups:
+            arrays_list = [pdev.level_arrays(li) for li in lis]
+            arrays_lists.append(arrays_list)
+            cb_sig = jax.tree_util.tree_structure(cb_av)
+            cb_shapes = tuple((tuple(x.shape), np.dtype(x.dtype).name)
+                              for x in jax.tree_util.tree_leaves(cb_av))
             sig = (_group_sig(pdev, lis), cb_sig, cb_shapes, dtype.name,
                    spd, hss_tol, matmul_precision, pivoting)
+            keys.append(("factor", sig))
             # donate the child-CB carry: without donation the previous
             # level's CBs stay allocated for the whole dispatch while the
             # new level's are written — a full extra level of HBM at
@@ -1509,10 +1556,40 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
             fn = _group_fn("factor", sig, lambda: partial(
                 _factor_group, _freeze_bds(pdev, lis), spd, hss_tol,
                 pivoting), donate=(2,))
-            arrays_list = [pdev.level_arrays(li) for li in lis]
-            out, cb_list = fn(arrays_list, vals_ext,
-                              cb_list, jnp.asarray(thresh, rdt),
-                              jnp.asarray(blr_tol, rdt))
+            if ok_aot:
+                try:
+                    low = fn.lower(arrays_list, vals_av, cb_av,
+                                   s_av, s_av)
+                    _, cb_av = low.out_info
+                    lows.append((keys[-1], low))
+                except Exception:
+                    ok_aot = False
+        _log = os.environ.get("STRUMPACK_TPU_COMPILE_LOG")
+        if _log:
+            print(f"# factorize: lower {time.perf_counter()-t_phase:.1f}s"
+                  f" ({len(lows)} programs)", flush=True)
+        t_phase = time.perf_counter()
+        if ok_aot:
+            try:
+                _aot_compile_parallel(lows)
+            except Exception:
+                ok_aot = False
+        if _log:
+            print(f"# factorize: compile {time.perf_counter()-t_phase:.1f}s",
+                  flush=True)
+        t_phase = time.perf_counter()
+        cb_list = []
+        for gi, lis in enumerate(groups):
+            ex = _EXEC_CACHE.get(keys[gi]) if ok_aot else None
+            if ex is not None:
+                out, cb_list = ex(arrays_lists[gi], vals_ext, cb_list,
+                                  th_c, tol_c)
+            else:
+                out, cb_list = _GROUP_FN_CACHE[keys[gi]](
+                    arrays_lists[gi], vals_ext, cb_list, th_c, tol_c)
+            if _log:
+                print(f"# factorize: exec group {gi} dispatched"
+                      f" {time.perf_counter()-t_phase:.1f}s", flush=True)
             out = _remap_keys(out, lis)
             for k in tree:
                 tree[k].update(out[k])
@@ -1562,6 +1639,12 @@ def _bwd_group(levels_bds, arrays_list, fac_tree, ys, xext):
 # per-level programs: a single whole-solve program at 64^3 scale produces a
 # ~58 MB TPU program image that faults the device (instruction memory)
 SPLIT_SOLVE_BUCKETS = 40
+
+# split-mode programs group at most this many buckets: finer groups give
+# the parallel AOT compiler more concurrent programs (64^3 cold factor
+# 137 s at budget 40 -> 81 s at 12, round-4 measurement) at a small
+# dispatch-count cost that the pipelined executor absorbs
+GROUP_BUDGET = int(os.environ.get("STRUMPACK_TPU_GROUP_BUDGET", "12"))
 
 
 def hbm_budget_bytes() -> int:
@@ -1673,34 +1756,70 @@ def solve(fac: Factors, b, matmul_precision="float32") -> jnp.ndarray:
 
     with jax.default_matmul_precision(matmul_precision):
         bext = jnp.concatenate([b, jnp.zeros((1, nrhs), b.dtype)], axis=0)
-        all_ys = {}
-        cbv_list = []
-        groups = _level_groups(pdev, SPLIT_SOLVE_BUCKETS)
+        groups = _level_groups(pdev, GROUP_BUDGET)
         dtn = jnp.dtype(fac.dtype).name
+        bext_av = jax.ShapeDtypeStruct(bext.shape, bext.dtype)
+        xext_av = jax.ShapeDtypeStruct((n + 1, nrhs), b.dtype)
+        # pass 1: lower all fwd (chaining abstract cbv carries) and bwd
+        # group programs, compile everything in ONE concurrent batch
+        arrays_lists, fwd_keys, bwd_keys, lows = [], [], [], []
+        ys_avs = []
+        cbv_av = []
+        ok_aot = True
         for lis in groups:
-            cbv_shapes = tuple((tuple(x.shape), x.dtype.name)
-                               for x in jax.tree_util.tree_leaves(cbv_list))
+            arrays_list = [pdev.level_arrays(li) for li in lis]
+            arrays_lists.append(arrays_list)
+            cbv_shapes = tuple((tuple(x.shape), np.dtype(x.dtype).name)
+                               for x in jax.tree_util.tree_leaves(cbv_av))
             sig = (_group_sig(pdev, lis), cbv_shapes, dtn, nrhs, spd,
                    matmul_precision)
+            fwd_keys.append(("fwd", sig))
             fn = _group_fn("fwd", sig, lambda: partial(
                 _fwd_group, _freeze_bds(pdev, lis)))
-            arrays_list = [pdev.level_arrays(li) for li in lis]
-            ys, cbv_list = fn(arrays_list, seg_tree(lis), bext, cbv_list)
+            bsig = (_group_sig(pdev, lis), dtn, nrhs, spd,
+                    matmul_precision)
+            bwd_keys.append(("bwd", bsig))
+            bfn = _group_fn("bwd", bsig, lambda: partial(
+                _bwd_group, _freeze_bds(pdev, lis)))
+            if not ok_aot:
+                ys_avs.append(None)
+                continue
+            try:
+                low = fn.lower(arrays_list, seg_tree(lis), bext_av,
+                               cbv_av)
+                ys_av, cbv_av = low.out_info
+                ys_avs.append(ys_av)
+                lows.append((fwd_keys[-1], low))
+                lows.append((bwd_keys[-1], bfn.lower(
+                    arrays_list, seg_tree(lis), ys_av, xext_av)))
+            except Exception:
+                ok_aot = False
+                ys_avs.append(None)
+        if ok_aot:
+            try:
+                _aot_compile_parallel(lows)
+            except Exception:
+                ok_aot = False
+        all_ys = {}
+        cbv_list = []
+        for gi, lis in enumerate(groups):
+            ex = _EXEC_CACHE.get(fwd_keys[gi]) if ok_aot else None
+            fn = ex if ex is not None else _GROUP_FN_CACHE[fwd_keys[gi]]
+            ys, cbv_list = fn(arrays_lists[gi], seg_tree(lis), bext,
+                              cbv_list)
             for lr, li in enumerate(lis):
                 for bi in range(len(pdev.levels[li])):
                     k = f"{lr},{bi}"
                     if k in ys:
                         all_ys[f"{li},{bi}"] = ys[k]
         xext = jnp.zeros((n + 1, nrhs), dtype=b.dtype)
-        for lis in groups[::-1]:
-            sig = (_group_sig(pdev, lis), dtn, nrhs, spd,
-                   matmul_precision)
-            fn = _group_fn("bwd", sig, lambda: partial(
-                _bwd_group, _freeze_bds(pdev, lis)))
-            arrays_list = [pdev.level_arrays(li) for li in lis]
+        for gi in range(len(groups) - 1, -1, -1):
+            lis = groups[gi]
+            ex = _EXEC_CACHE.get(bwd_keys[gi]) if ok_aot else None
+            fn = ex if ex is not None else _GROUP_FN_CACHE[bwd_keys[gi]]
             ys_rel = {f"{lr},{bi}": all_ys[f"{li},{bi}"]
                       for lr, li in enumerate(lis)
                       for bi in range(len(pdev.levels[li]))}
-            xext = fn(arrays_list, seg_tree(lis), ys_rel, xext)
+            xext = fn(arrays_lists[gi], seg_tree(lis), ys_rel, xext)
     x = xext[:n]
     return x[:, 0] if squeeze else x

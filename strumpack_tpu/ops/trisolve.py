@@ -104,10 +104,21 @@ def trsm_upper(U, B, bw=TRSM_BW, unit=False):
     return jnp.concatenate(parts[::-1], axis=1)
 
 
-def use_loopfree(dtype) -> bool:
-    """Use the unrolled solves on the TPU f32 path; XLA's native
-    triangular_solve elsewhere (f64 CPU tests keep LAPACK-grade
-    substitution)."""
+# beyond this triangle width the unrolled block substitution's HLO cost
+# (w/32 Python-unrolled block steps, each with log2(32) Neumann matmuls)
+# outweighs its win over XLA's native triangular_solve: device while
+# loops run at ~0.3 us/iteration on this platform (re-measured round 4),
+# and native trsm on wide triangles is MXU-blocked by XLA itself
+LOOPFREE_MAX_W = 96
+
+
+def use_loopfree(dtype, w=None) -> bool:
+    """Use the unrolled solves on the TPU f32 path for NARROW triangles
+    (w <= LOOPFREE_MAX_W, where per-iteration loop overhead would exceed
+    the tiny per-step work); XLA's native triangular_solve elsewhere
+    (wide triangles, and f64 CPU tests keep LAPACK-grade substitution)."""
+    if w is not None and w > LOOPFREE_MAX_W:
+        return False
     return (jax.default_backend() == "tpu"
             and jnp.dtype(dtype) == jnp.float32)
 
