@@ -1243,18 +1243,22 @@ class Factors:
                               + 2.0 * ds * du * du).sum()
         return int(total)
 
-    def rank_saturated(self) -> bool:
-        """True when any compressed bucket's masked ranks hit their fixed
-        cap — the trace-level signal that the fixed sketch/rank budget was
-        too small (the reference detects this inside its adaptive
-        compression loop, HSSMatrix.compress.hpp:37-100, and restarts with
-        more samples; here the driver doubles the caps and re-traces)."""
+    def saturated_buckets(self):
+        """(li, bi) keys of compressed buckets whose masked ranks hit
+        their fixed cap — the trace-level signal that the fixed
+        sketch/rank budget was too small (the reference detects this
+        inside its adaptive compression loop,
+        HSSMatrix.compress.hpp:37-100, and restarts with more samples;
+        here the driver doubles the caps of EXACTLY these buckets and
+        re-traces — untouched buckets keep their shape signature, so
+        their split-mode group programs come out of the compile cache)."""
+        out = set()
         for key, rk in self.tree["blr_ranks"].items():
             li, bi = map(int, key.split(","))
             bp = self.pdev.levels[li][bi].bp
             if (rk.size and bp.max_rank < bp.tile
                     and int(np.asarray(rk).max()) >= bp.max_rank):
-                return True
+                out.add((li, bi))
         for key, entry in self.tree["hss"].items():
             li, bi = map(int, key.split(","))
             bp = self.pdev.levels[li][bi].bp
@@ -1265,8 +1269,13 @@ class Factors:
             for lvl in getattr(H, "ranks", []):
                 for r in lvl:
                     if r.size and int(np.asarray(r).max()) >= cap:
-                        return True
-        return False
+                        out.add((li, bi))
+                        break
+        return out
+
+    def rank_saturated(self) -> bool:
+        """True when any compressed bucket saturated its rank cap."""
+        return bool(self.saturated_buckets())
 
     def inertia(self):
         """(n_pos, n_neg, n_zero) from the U diagonals; INACCURATE when any

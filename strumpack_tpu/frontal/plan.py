@@ -482,6 +482,32 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
         plan.cb_sizes.append(cb_total)
         plan.cbv_sizes.append(cbv_total)
 
+    # ---- generous initial rank caps (skip the adaptive restart) ---------
+    # The adaptive-rank restart re-traces the factorization with larger
+    # static shapes; with compressed-CB carries one grown bucket cascades
+    # through every downstream group signature, so a restart costs a near-
+    # full recompile (~2x cold start).  When uncapped-rank storage fits
+    # comfortably in HBM, start at the caps the restart would converge to
+    # (BLR: tile, HSS family: leaf) — saturation then cannot trigger.
+    # Mirrors the reference's preference for resolving ranks in ONE
+    # adaptive sweep (HSSMatrix.compress.hpp:37-100) rather than restarts.
+    if any(bp.blr or bp.hss or bp.hodlr or bp.hodbf or bp.hss_sample
+           for lvl in plan.levels for bp in lvl):
+        from .numeric import hbm_budget_bytes, static_factor_bytes
+        saved = [(bp.max_rank, bp.hss_rank)
+                 for lvl in plan.levels for bp in lvl]
+        for lvl in plan.levels:
+            for bp in lvl:
+                if bp.blr:
+                    bp.max_rank = bp.tile
+                if bp.hss or bp.hodlr or bp.hodbf or bp.hss_sample:
+                    bp.hss_rank = bp.hss_leaf
+        if static_factor_bytes(plan) > 0.25 * hbm_budget_bytes():
+            it = iter(saved)
+            for lvl in plan.levels:
+                for bp in lvl:
+                    bp.max_rank, bp.hss_rank = next(it)
+
     # ---- stats ----------------------------------------------------------
     from ..sparse.symbolic import factor_flops, factor_nonzeros
     plan.factor_nnz = factor_nonzeros(tree, upd)

@@ -282,7 +282,8 @@ class SparseSolver:
         if (opts.adaptive_rank
                 and opts.compression != CompressionType.NONE):
             for _ in range(4):
-                if not self.fac.rank_saturated():
+                sat = self.fac.saturated_buckets()
+                if not sat:
                     break
                 # HBM-aware growth: static compressed-factor storage
                 # scales linearly with the caps; doubling past the device
@@ -296,17 +297,20 @@ class SparseSolver:
                               f"caps would need ~{proj/1e9:.1f} GB of "
                               "factor storage (HBM budget)")
                     break
+                # grow ONLY the saturated buckets: untouched buckets keep
+                # their shape signature and their (split-mode) programs
+                # come straight out of the compile cache on the re-trace
                 grew = False
-                for lvl in self.plan.levels:
-                    for bp in lvl:
-                        if bp.blr and bp.max_rank < bp.tile:
-                            bp.max_rank = min(bp.tile, bp.max_rank * 2)
-                            grew = True
-                        if ((bp.hss or bp.hodlr or bp.hodbf
-                             or bp.hss_sample)
-                                and 0 < bp.hss_rank < bp.hss_leaf):
-                            bp.hss_rank = min(bp.hss_leaf, bp.hss_rank * 2)
-                            grew = True
+                for li, bi in sat:
+                    bp = self.plan.levels[li][bi]
+                    if bp.blr and bp.max_rank < bp.tile:
+                        bp.max_rank = min(bp.tile, bp.max_rank * 2)
+                        grew = True
+                    if ((bp.hss or bp.hodlr or bp.hodbf
+                         or bp.hss_sample)
+                            and 0 < bp.hss_rank < bp.hss_leaf):
+                        bp.hss_rank = min(bp.hss_leaf, bp.hss_rank * 2)
+                        grew = True
                 if not grew:
                     break
                 if opts.verbose:
