@@ -498,10 +498,14 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                  for lvl in plan.levels for bp in lvl]
         for lvl in plan.levels:
             for bp in lvl:
+                # never exceed an explicit user cap (--blr_max_rank /
+                # --hss_max_rank): memory-motivated tight caps (e.g. the
+                # 100^3 campaign's rank 32) must survive this pass
                 if bp.blr:
-                    bp.max_rank = bp.tile
+                    bp.max_rank = min(bp.tile, compression.blr.max_rank)
                 if bp.hss or bp.hodlr or bp.hodbf or bp.hss_sample:
-                    bp.hss_rank = bp.hss_leaf
+                    bp.hss_rank = min(bp.hss_leaf,
+                                      compression.hss.max_rank)
         if static_factor_bytes(plan) > 0.25 * hbm_budget_bytes():
             it = iter(saved)
             for lvl in plan.levels:

@@ -123,7 +123,11 @@ def _struct_repl_flops(bp, ndev) -> float:
     fl = 0.0
     for lev in range(L):
         half = 2 ** lev
-        if half >= ndev:
+        # mirror _struct_constrain's con(): the batch axis only shards
+        # when divisible by the device count with >= 8 rows per device —
+        # a level with half >= ndev but failing those checks stays
+        # replicated and must be charged here (ADVICE r3)
+        if half % ndev == 0 and half >= 8 * ndev:
             continue
         ml = mp // (2 * half)
         # QR [ml, q] x2 sweeps + SVD of [q, ml] per off-diag block pair,
@@ -474,7 +478,7 @@ def _struct_constrain(sp):
 
 
 def _big_factor(sp, li, bi, bigs, vals_ext, cb_full, th, tol, out,
-                hss_tol=1e-4):
+                hss_tol):
     """Assemble + factor one grid/tile front from mesh-global arrays.
     cb_full entries are global child-CB arrays (shard-produced entries
     are full [nf, u, u]; repl-produced are stacked — rows 0..nf-1 hold
@@ -684,8 +688,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
             for bi in range(len(pdev.levels[li])):
                 if sp.modes[(li, bi)] in ("grid", "tile", "struct"):
                     cb = _big_factor(sp, li, bi, bigs, vals_ext,
-                                     cb_carry, th, tol, frag,
-                                     hss_tol=hss_tol)
+                                     cb_carry, th, tol, frag, hss_tol)
                     # a big CB re-enters the next shard_map region with
                     # in_spec P(): force it REPLICATED here — GSPMD may
                     # otherwise leave it sharded from the grid/tile

@@ -108,7 +108,17 @@ class HODLRMatrix:
             A21 = Ar[i2, :, i1, :]
             if ml >= RSVD_MIN and r + 8 < ml:
                 q = r + 8
-                key = jax.random.fold_in(jax.random.PRNGKey(17), lev)
+                # fold the sketch key by level AND a data-derived mix:
+                # the normal() draw below is batched over the block-pair
+                # axis (each pair gets distinct Gaussians), but under a
+                # vmapped front bucket every FRONT would otherwise share
+                # one sketch — a single adversarially aligned sketch
+                # would then degrade that level across all fronts at once
+                mix = jax.lax.bitcast_convert_type(
+                    jnp.asarray(jnp.real(A12.reshape(-1)[0]),
+                                jnp.float32), jnp.int32)
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(17), lev), mix)
                 k1, k2 = jax.random.split(key)
                 U12, S12, V12 = _rand_lowrank_svd(A12, q, k1)
                 U21, S21, V21 = _rand_lowrank_svd(A21, q, k2)
@@ -252,7 +262,9 @@ class HODLRMatrix:
 
     def max_rank(self) -> int:
         import numpy as _np
-        return int(max(_np.asarray(r) for r in self.rank_arrays)) \
+        # .max() then int(): int() on a shape-(1,) ndarray is deprecated
+        # (NumPy >= 1.25) and slated to become an error
+        return max(int(_np.asarray(r).max()) for r in self.rank_arrays) \
             if self.rank_arrays else 0
 
 
