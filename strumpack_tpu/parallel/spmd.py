@@ -795,8 +795,14 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
     nbuckets = sum(len(l) for l in pdev.levels)
     import os as _os
     force_split = _os.environ.get("STRUMPACK_SPMD_SPLIT")
-    if (nbuckets <= numeric.SPLIT_SOLVE_BUCKETS and not sp.big
-            and not force_split):
+    # STRUMPACK_SPMD_FORCE_FUSED exists ONLY for the miscompile repro
+    # (examples/repro_xla_fused_miscompile.py + the guard test): it
+    # bypasses the `not sp.big` gate and fuses all three phases into one
+    # program even with grid/tile fronts — the composition XLA is known
+    # to miscompile (see the comment above).
+    force_fused = _os.environ.get("STRUMPACK_SPMD_FORCE_FUSED")
+    if (nbuckets <= numeric.SPLIT_SOLVE_BUCKETS
+            and (not sp.big or force_fused) and not force_split):
         jf = jax.jit(step, in_shardings=(None, None, repl, repl),
                      out_shardings=repl)
 
@@ -809,6 +815,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
                           jnp.asarray(b))
 
         run.sharded_plan = sp
+        run.fused = True
         return run
 
     # ---- split-program mode: one dispatch per segment -----------------
@@ -863,4 +870,5 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         return x[:, 0] if squeeze else x
 
     run.sharded_plan = sp
+    run.fused = False
     return run

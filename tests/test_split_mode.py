@@ -6,6 +6,7 @@ TPU at 64^3 scale).  These tests force split mode on small problems so the
 path is covered deterministically on CPU, including every front type and
 multi-rhs solves.
 """
+import jax
 import numpy as np
 import pytest
 
@@ -174,3 +175,46 @@ def test_chunked_blr_cb_compression():
             os.environ.pop("STRUMPACK_TPU_CHUNK_GB", None)
         else:
             os.environ["STRUMPACK_TPU_CHUNK_GB"] = old
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_fused_big_front_guard(monkeypatch):
+    """Regression guard for the round-3 XLA miscompile (PERF.md): fusing
+    factor+fwd+bwd into ONE program with GSPMD big-front math between
+    shard_map regions returns wrong solve values for tile-mode BLR
+    fronts.  The production gate must keep routing big-front plans to
+    per-segment dispatch; this test asserts (a) the gate holds, (b) the
+    segmented result is correct, and (c) documents whether the fused
+    composition still differs (repro:
+    examples/repro_xla_fused_miscompile.py — reproduced at rel diff
+    ~0.58 on jax 0.9 CPU)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from strumpack_tpu.parallel.dist import make_sharded_factor_solve
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    nx = 12
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    opts = SPOptions(compression=CompressionType.BLR,
+                     compression_min_sep_size=32)
+    opts.blr.rel_tol = 1e-8
+    plan = build_plan(Ap, tree, upd, compression=opts)
+    pdev = numeric.PlanDev(plan)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    b = Ap.spmv(np.ones(Ap.n))
+
+    monkeypatch.delenv("STRUMPACK_SPMD_FORCE_FUSED", raising=False)
+    seg = make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64,
+                                    blr_tol=1e-8)
+    # (a) the gate: a plan with grid/tile fronts must NOT fuse
+    assert seg.sharded_plan.big and not seg.fused
+    x = np.asarray(seg(jnp.asarray(Ap.data), jnp.asarray(b)))
+    # (b) the segmented (production) result is correct
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-2, res
