@@ -232,6 +232,50 @@ def main():
         }))
         return
 
+    if config == "hodlr100":
+        # BASELINE config 3: 100^3 BLR+HODLR composite (lossy small
+        # fronts), GMRES.  Runs examples/campaign_100.py's configuration
+        # inline; reports steady factor seconds.
+        from strumpack_tpu import SPOptions, KrylovSolver
+        from strumpack_tpu.options import CompressionType
+        from strumpack_tpu.sparse.gen import poisson3d
+        opts = SPOptions(factor_dtype="float32", refine_dtype="float32",
+                         rel_tol=1e-4,
+                         krylov_solver=KrylovSolver.PREC_GMRES,
+                         compression=CompressionType.ZFP_BLR_HODLR,
+                         compression_min_sep_size=256)
+        opts.hodlr_min_sep_size = 2048
+        opts.blr.max_rank = 32
+        opts.blr.rel_tol = 1e-4
+        opts.blr.cb_compression = True
+        opts.blr.cb_rank_cap = 16
+        opts.hss.leaf_size = 256
+        opts.hss.max_rank = 128
+        opts.hss.rel_tol = 1e-4
+        from strumpack_tpu import SparseSolver
+        A = poisson3d(100)
+        s = SparseSolver(opts)
+        s.set_csr_matrix(A)
+        t0 = time.perf_counter()
+        s.reorder(100, 100, 100)
+        t_reorder = time.perf_counter() - t0
+        s.factor()
+        t_first = s.times["factor"]
+        b = A.spmv(np.ones(A.n))
+        x, rc = s.solve(b)
+        t_solve = s.times["solve"]
+        res = A.max_scaled_residual(x, b)
+        print(f"# 100^3 n={A.n} reorder={t_reorder:.1f}s "
+              f"factor_first={t_first:.1f}s solve={t_solve:.2f}s "
+              f"its={s.its} residual={res:.2e}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "poisson3d_100_hodlr_factor_seconds",
+            "value": round(t_first, 2),
+            "unit": "s",
+            "vs_baseline": 0.0,
+        }))
+        return
+
     raise SystemExit(f"unknown BENCH_CONFIG {config}")
 
 
