@@ -1344,18 +1344,52 @@ class Factors:
         return total
 
 
+# working-set bytes above which a split-mode group is cut even below the
+# bucket budget: heavy top levels each get their own program, so the
+# dispatch boundary (and the donated CB carry) frees the previous
+# level's working set before the next allocates (FrontGPU split_smaller
+# / chunked copy-back role, FrontGPU.cpp:490-496)
+GROUP_BYTES = float(os.environ.get("STRUMPACK_TPU_GROUP_BYTES", 1.5e9))
+
+
+def _level_bytes(lvl, itemsize=4):
+    """Modeled device working set of one level: per-chunk dense front
+    assemblies + the level's (possibly compressed) CB storage."""
+    fb = cb = 0
+    for bd in lvl:
+        bp = bd.bp if hasattr(bd, "bp") else bd
+        ch = max(getattr(bp, "chunks", 1), 1)
+        p = bp.s_pad + bp.u_pad
+        if not bp.hss_sample:
+            fb += (bp.nf // max(ch, 1)) * p * p * itemsize
+        u = bp.u_pad
+        if getattr(bp, "cb_comp", 0) and u:
+            t = bp.cb_comp
+            nt = u // t
+            r = getattr(bp, "cb_rank", 0) or t // 2
+            cb += bp.nf * (nt * t * t + nt * (nt - 1) * 2 * t * r) \
+                * itemsize
+        else:
+            cb += bp.nf * u * u * itemsize
+    return fb + cb
+
+
 def _level_groups(pdev, budget):
-    """Group consecutive levels so each jitted split-mode program holds at
-    most ~budget buckets: bounds the program image (the failure mode that
-    motivated split mode) while paying one dispatch per GROUP instead of
-    per level (26 -> ~3 dispatches at 64^3)."""
-    groups, cur, cnt = [], [], 0
+    """Group consecutive levels so each jitted split-mode program holds
+    at most ~budget buckets AND ~GROUP_BYTES of modeled working set:
+    bounds the program image (the failure mode that motivated split
+    mode) and gives heavy top levels their own dispatch boundaries,
+    while paying one dispatch per GROUP instead of per level
+    (26 -> ~3 dispatches at 64^3)."""
+    groups, cur, cnt, bts = [], [], 0, 0.0
     for li, lvl in enumerate(pdev.levels):
-        if cur and cnt + len(lvl) > budget:
+        lb = _level_bytes(pdev.levels[li])
+        if cur and (cnt + len(lvl) > budget or bts + lb > GROUP_BYTES):
             groups.append(cur)
-            cur, cnt = [], 0
+            cur, cnt, bts = [], 0, 0.0
         cur.append(li)
         cnt += len(lvl)
+        bts += lb
     if cur:
         groups.append(cur)
     return groups
