@@ -660,10 +660,19 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
     side_data = []
     for pairs, poskey in ((bd.pairsL, "posL"), (bd.pairsR, "posR")):
         for (bk, uc, key) in pairs:
-            Cb = _cb_dense(cb_list[bk])
+            entry = cb_list[bk]
             idx = a[key]
-            selc = jnp.clip(idx, 0, max(Cb.shape[0] - 1, 0))
-            C = Cb[selc] * (idx >= 0).astype(dtype)[:, None, None]
+            nfc = entry.shape[0]
+            selc = jnp.clip(idx, 0, max(nfc - 1, 0))
+            if isinstance(entry, BLRCB):
+                # per-selection densify (the 100^3 OOM fix in
+                # _extend_add_blocks): select compressed rows, THEN
+                # densify only the consumer's batch
+                Cb = _cb_dense(jax.tree_util.tree_map(
+                    lambda x: x[selc], entry))
+            else:
+                Cb = entry[selc]
+            C = Cb * (idx >= 0).astype(dtype)[:, None, None]
             side_data.append((a[poskey], C))
 
     def one(ell, ellT, sides):
@@ -734,7 +743,18 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
         F21r = elem_full((sP + J21)[:, None],
                          jnp.arange(sP, dtype=jnp.int32)[None, :])
         W = H.solve(X12)                                       # [sP, r2]
-        F22 = elem_full((sP + iu)[:, None], (sP + iu)[None, :])
+        # F22 is pure child-CB data (A's (upd, upd) entries belong to
+        # ancestors), so assemble it by the posc double-gather of
+        # _extend_add_blocks rather than elem_full over the [u, u]
+        # grid — elem_full would build a [u, u, ell_width] int cube
+        # (274 GB at the 100^3 root: the round-4 compile-time OOM)
+        F22 = jnp.zeros((uP, uP), dtype)
+        for pos_, C in sides:
+            uc = C.shape[0]
+            pu = pos_[sP:]
+            pc = jnp.where((pu >= 0) & (pu < uc), pu, uc).astype(jnp.int32)
+            Cpad = jnp.pad(C, ((0, 1), (0, 1)))
+            F22 = F22 + Cpad[pc][:, pc]
         CB = F22 - jnp.matmul(
             X21, jnp.matmul(jnp.matmul(F21r, W), F12r,
                             preferred_element_type=dtype),
@@ -916,6 +936,9 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
                                             hss_tol, dtype,
                                             seed=li * 131 + bi)
         out["hss"][key] = (H, S12, F21)
+        if getattr(bp, "cb_comp", 0) and CB.size:
+            r_cb = getattr(bp, "cb_rank", 0) or max(bp.cb_comp // 4, 8)
+            CB = _compress_cb(CB, bp.cb_comp, tol, r_cb)
         return CB
     structured = bp.hss or bp.hodlr or bp.hodbf
     if getattr(bp, "chunks", 1) > 1:

@@ -292,7 +292,15 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     lossy_min = getattr(compression,
                                         "lossy_min_sep_size", 8)
                     if sp >= hodlr_min:
-                        eff = CT.HODLR
+                        # with --hss_sampling the composite's top fronts
+                        # are SAMPLING-built HSS instead of HODLR: no
+                        # dense (s+u)^2 assembly ever exists for them
+                        # (FrontHSS::random_sampling role, the 100^3 HBM
+                        # ceiling fix; BASELINE config 3's "HSS ULV,
+                        # randomized sampling")
+                        eff = (CT.HSS if getattr(compression.hss,
+                                                 "sampling", False)
+                               else CT.HODLR)
                     elif sp >= min_sep:
                         eff = CT.BLR
                     elif comp == CT.ZFP_BLR_HODLR and sp >= lossy_min:

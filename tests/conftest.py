@@ -27,3 +27,11 @@ import jax  # noqa: E402
 # the environment; override the live config, not just the env var.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache for the CPU test programs: the suite
+# is compile-bound (VERDICT r3 weak 6 — 18 min for test_sparse_seq
+# alone); cached traces cut repeat runs to the numeric time.  Kept in
+# the user cache dir so driver/CI reruns on the same machine hit it.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/strumpack_tpu_jax_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

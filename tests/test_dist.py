@@ -567,3 +567,21 @@ def test_struct_mode_hodlr_front_distributed():
     # distributed == single-chip up to sharding roundoff
     assert res[8] < 1e-2, res
     assert abs(res[8] - res[1]) <= 1e-9 + 0.05 * res[1], res
+
+
+@pytest.mark.parametrize("nd", [3, 5, 6, 7])
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_awkward_device_counts(nd):
+    """Non-power-of-two meshes (reference spirit: mpiexec -n {9,13,17,19},
+    test/CMakeLists.txt:189-318): bucket batches rarely divide the device
+    count, exercising choose_modes' replication fallback and the uneven
+    shard_map paths."""
+    import jax.numpy as jnp
+    from strumpack_tpu.parallel.dist import make_sharded_factor_solve
+    A, Ap, perm, pdev = _problem(nx=20, leaf=4)
+    mesh = Mesh(np.array(jax.devices()[:nd]), ("b",))
+    fn = make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64)
+    b = Ap.spmv(np.ones(Ap.n))
+    x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-12, (nd, res)

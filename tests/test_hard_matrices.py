@@ -145,3 +145,43 @@ def test_indefinite_helmholtz_like_blr():
     opts.blr.rel_tol = 1e-8
     opts.nx, opts.ny = 40, 40
     _, res = _solve_check(A, opts, tol_factor=1e3)
+
+
+# ---- bundled .mtx fixtures (reference test/download_mtx.sh role) -------
+FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+FIXTURES = ["aniso3d_14.mtx", "jump3d_14.mtx", "helmholtz3d_14.mtx",
+            "saddle2d_24.mtx"]
+
+
+@pytest.mark.parametrize("fname", FIXTURES)
+@pytest.mark.parametrize("comp,krylov", [
+    (CompressionType.NONE, KrylovSolver.AUTO),
+    (CompressionType.BLR, KrylovSolver.PREC_GMRES),
+])
+def test_fixture_sweep(fname, comp, krylov):
+    """Compression x Krylov sweep over the bundled hard fixtures
+    (anisotropy, coefficient jump, shifted indefinite Helmholtz, saddle
+    point) — the in-repo analog of the reference's SuiteSparse matrix
+    sweep (test/CMakeLists.txt:15, test/download_mtx.sh: utm300,
+    bcsstk28, sherman4, ... fetched from the network, unavailable
+    here)."""
+    A = CSRMatrix.from_matrix_market(os.path.join(FIXDIR, fname))
+    if fname.startswith("saddle"):
+        # zero-diagonal saddle point: tiny-pivot replacement perturbs
+        # the factorization enough that plain iterative refinement
+        # diverges — exact-LU-preconditioned GMRES converges (~58 its)
+        krylov = KrylovSolver.PREC_GMRES
+    opts = SPOptions(rel_tol=1e-8, compression=comp, krylov_solver=krylov,
+                     compression_min_sep_size=64,
+                     matching=MatchingJob.MAX_DIAGONAL_PRODUCT_SCALING)
+    if comp != CompressionType.NONE:
+        opts.blr.rel_tol = 1e-8
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    rng = np.random.default_rng(11)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS, (fname, rc)
+    res = A.max_scaled_residual(x, b)
+    assert res <= 1e2 * opts.rel_tol, (fname, res)
