@@ -626,7 +626,8 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None):
     return jax.vmap(one)(F)
 
 
-def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
+def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed,
+                      constrain=None):
     """Sampling-constructed HSS fronts — root AND interior
     (FrontHSS::random_sampling, FrontHSS.cpp:241, + element_extraction):
     the dense front is never assembled.  Per front (vmapped over the
@@ -653,6 +654,9 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
     p = bp.samp_meta["p"]
     sP, uP = bp.s_pad, bp.u_pad
     nf = bp.nf
+    if nf != 1:
+        constrain = None       # intra-front sharding only for single
+                               # big fronts; batched buckets batch-shard
     r2 = max(4, int(bp.hss_rank))
     d2 = r2 + 16
 
@@ -718,7 +722,8 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
         from ..structured.hss_sample import hss_from_sampling, _id_rows
         H = hss_from_sampling(mult11, elem_full, sP, leaf_size=bp.hss_leaf,
                               max_rank=bp.hss_rank, oversample=16,
-                              rel_tol=hss_tol, dtype=dtype, seed=seed)
+                              rel_tol=hss_tol, dtype=dtype, seed=seed,
+                              constrain=constrain)
         H.factor()
         if uP == 0:
             return H, None, None, jnp.zeros((0, 0), dtype)
@@ -726,16 +731,17 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed):
         tol = jnp.asarray(hss_tol, jnp.real(jnp.zeros((), dtype)).dtype)
         key2 = jax.random.PRNGKey(seed + 7)
         kA, kB = jax.random.split(key2)
+        con = constrain if constrain is not None else (lambda x: x)
         # F12 row basis from samples F12 R2 (randomized interpolative ID)
-        R2 = jax.random.normal(kA, (uP, d2), dtype)
-        S12 = mult_full(jnp.zeros((p, d2), dtype).at[sP:].set(R2),
-                        False)[:sP]
+        R2 = con(jax.random.normal(kA, (uP, d2), dtype))
+        S12 = con(mult_full(jnp.zeros((p, d2), dtype).at[sP:].set(R2),
+                            False)[:sP])
         X12, J12, _ = _id_rows(S12[None], tol, r2)
         X12, J12 = X12[0], J12[0]
         # F21 row basis from samples F21 R1
-        R1 = jax.random.normal(kB, (sP, d2), dtype)
-        S21 = mult_full(jnp.zeros((p, d2), dtype).at[:sP].set(R1),
-                        False)[sP:]
+        R1 = con(jax.random.normal(kB, (sP, d2), dtype))
+        S21 = con(mult_full(jnp.zeros((p, d2), dtype).at[:sP].set(R1),
+                            False)[sP:])
         X21, J21, _ = _id_rows(S21[None], tol, r2)
         X21, J21 = X21[0], J21[0]
         iu = jnp.arange(uP, dtype=jnp.int32)

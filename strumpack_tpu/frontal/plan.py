@@ -328,7 +328,11 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     # (FrontBLR F22blr_ role) for big update blocks
                     if (getattr(compression.blr, "cb_compression", False)
                             and up >= 128 and up % 64 == 0):
-                        bp.cb_comp = 64
+                        # 128-wide tiles when possible: [*, 64, 64] tile
+                        # batches pay 2x lane padding under TPU (8, 128)
+                        # tiling in transposed layouts (the round-4 100^3
+                        # OOM's biggest temps were 50% padding)
+                        bp.cb_comp = 128 if up % 128 == 0 else 64
                         bp.cb_rank = getattr(compression.blr,
                                              "cb_rank_cap", 0)
                 elif eff == CT.LOSSY:
@@ -339,7 +343,11 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                     # the top HODLR fronts' dense CBs are GB-scale
                     if (getattr(compression.blr, "cb_compression", False)
                             and up >= 128 and up % 64 == 0):
-                        bp.cb_comp = 64
+                        # 128-wide tiles when possible: [*, 64, 64] tile
+                        # batches pay 2x lane padding under TPU (8, 128)
+                        # tiling in transposed layouts (the round-4 100^3
+                        # OOM's biggest temps were 50% padding)
+                        bp.cb_comp = 128 if up % 128 == 0 else 64
                         bp.cb_rank = getattr(compression.blr,
                                              "cb_rank_cap", 0)
                     bf_levels = getattr(compression,

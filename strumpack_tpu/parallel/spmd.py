@@ -137,6 +137,56 @@ def _struct_repl_flops(bp, ndev) -> float:
     return bp.nf * fl
 
 
+def _samp_repl_flops(bp, ndev) -> float:
+    """Replicated portion of a samp-mode sampling-HSS front: the
+    per-level interpolative IDs (QR of [node, t, d] blocks, batch-
+    shardable only while the node count divides the devices) — the
+    sampling matvecs and reduction matmuls shard over the sample-column
+    axis d, which always divides (d = rank + 16 oversample)."""
+    from ..structured.hss import _pad_pow2
+    t = max(int(bp.hss_leaf), 1)
+    mp, L = _pad_pow2(bp.s_pad, t)
+    r = max(int(bp.hss_rank), 8)
+    d = r + 16
+    fl = 0.0
+    for lev in range(L + 1):
+        nl = max(mp // (t * 2 ** lev), 1)
+        if nl % ndev == 0 and nl >= 8 * ndev:
+            continue
+        fl += nl * 4.0 * t * d * d * 2     # two ID/QR sweeps per level
+    return bp.nf * fl
+
+
+def _samp_constrain(sp):
+    """Sharding-constraint callback for samp-mode sampling fronts:
+    3D node-batched arrays shard on the leading node axis, 2D sample
+    matrices on the trailing column axis — both survive every level
+    transition of the construction, so GSPMD partitions without the
+    full-remat reshards the HODLR block axis provoked
+    (MULTICHIP_r03)."""
+    cached = getattr(sp, "_samp_con", None)
+    if cached is not None:
+        return cached
+    mesh, axes, ndev = sp.mesh, sp.axes, sp.ndev
+
+    def con(x):
+        shp = getattr(x, "shape", ())
+        nd = len(shp)
+        if nd == 0:
+            return x
+        prefer = (0, nd - 1) if nd >= 3 else (nd - 1,)
+        for ax in prefer:
+            ln = shp[ax]
+            if ln % ndev == 0 and ln >= 2 * ndev:
+                spec = [None] * nd
+                spec[ax] = axes
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(*spec)))
+        return x
+    sp._samp_con = con
+    return con
+
+
 def choose_modes(pdev, mesh, blk2d=None):
     """Per-bucket execution mode over the mesh:
 
@@ -175,6 +225,16 @@ def choose_modes(pdev, mesh, blk2d=None):
                 diag = min(_tile_diag_flops(bp), fl)
                 repl_fl += diag
                 max_dev += diag + (fl - diag) / ndev
+            elif (ndev > 1 and bp.hss_sample and bp.nf == 1
+                    and bp.s_pad >= 4 * BIG_P):
+                # intra-front-distributed sampling-HSS front (FrontHSSMPI
+                # / DistSamples role): the sampling matvecs and the node-
+                # batched compression shard over the mesh; the per-level
+                # interpolative IDs stay replicated
+                modes[(li, bi)] = "samp"
+                rp = min(_samp_repl_flops(bp, ndev), fl)
+                repl_fl += rp
+                max_dev += rp + (fl - rp) / ndev
             elif (ndev > 1 and bp.hodlr and not bp.hodbf and bp.nf == 1
                     and bp.s_pad >= 4 * BIG_P):
                 # intra-front-distributed structured front (FrontHODLRMPI
@@ -318,7 +378,7 @@ class ShardedPlan:
                 mode = self.modes[(li, bi)]
                 bp = bd.bp
                 nf = bp.nf
-                if mode in ("grid", "tile", "struct"):
+                if mode in ("grid", "tile", "struct", "samp"):
                     self.big[f"{li},{bi}"] = _put_repl(bd.host_arrays,
                                                        mesh)
                     row.append(None)
@@ -384,7 +444,7 @@ class ShardedPlan:
         budget = numeric.SPLIT_SOLVE_BUCKETS
         segs, cur, cnt = [], [], 0
         for li, lvl in enumerate(self.pdev.levels):
-            has_big = any(self.modes[(li, bi)] in ("grid", "tile", "struct")
+            has_big = any(self.modes[(li, bi)] in ("grid", "tile", "struct", "samp")
                           for bi in range(len(lvl)))
             if has_big:
                 if cur:
@@ -490,6 +550,18 @@ def _big_factor(sp, li, bi, bigs, vals_ext, cb_full, th, tol, out,
     mesh = sp.mesh
     dtype = vals_ext.dtype
     key = f"{li},{bi}"
+    if mode == "samp":
+        # sampling-built HSS front: no dense assembly; sampling +
+        # compression distribute via the constraint callback
+        H, S12, F21, CB = numeric._hss_sample_front(
+            bp, bd, a, vals_ext, list(cb_full), hss_tol, dtype,
+            seed=li * 131 + bi, constrain=_samp_constrain(sp))
+        out["hss"][key] = (H, S12, F21)
+        if getattr(bp, "cb_comp", 0) and CB.size:
+            CB = numeric._compress_cb(
+                CB, bp.cb_comp, tol,
+                getattr(bp, "cb_rank", 0) or max(bp.cb_comp // 4, 8))
+        return CB
     F = jnp.zeros((bp.nf, bp.p, bp.p), dtype=dtype)
     F = F.at[a["asm_bidx"], a["asm_r"], a["asm_c"]].add(
         vals_ext[a["asm_vidx"]])
@@ -686,7 +758,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         if kind == "mixed":
             li = lis[0]
             for bi in range(len(pdev.levels[li])):
-                if sp.modes[(li, bi)] in ("grid", "tile", "struct"):
+                if sp.modes[(li, bi)] in ("grid", "tile", "struct", "samp"):
                     cb = _big_factor(sp, li, bi, bigs, vals_ext,
                                      cb_carry, th, tol, frag, hss_tol)
                     # a big CB re-enters the next shard_map region with
@@ -714,7 +786,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         if kind == "mixed":
             li = lis[0]
             for bi in range(len(pdev.levels[li])):
-                if sp.modes[(li, bi)] in ("grid", "tile", "struct"):
+                if sp.modes[(li, bi)] in ("grid", "tile", "struct", "samp"):
                     y, cbv = _big_fwd(sp, li, bi, bigs, big_tree, bext,
                                       cbv_carry)
                     ys_big[f"{li},{bi}"] = y
@@ -727,7 +799,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         if kind == "mixed":
             li = lis[0]
             for bi in range(len(pdev.levels[li])):
-                if sp.modes[(li, bi)] in ("grid", "tile", "struct"):
+                if sp.modes[(li, bi)] in ("grid", "tile", "struct", "samp"):
                     xext = _big_bwd(sp, li, bi, bigs, big_tree,
                                     ys_big[f"{li},{bi}"], xext)
         xs = smap(

@@ -82,7 +82,8 @@ def _id_rows(F, tol, r):
 
 def hss_from_sampling(mult, elem, m, leaf_size=64, max_rank=32,
                       oversample=16, rel_tol=1e-6, dtype=jnp.float32,
-                      sketch="gaussian", seed=0) -> HSSMatrix:
+                      sketch="gaussian", seed=0,
+                      constrain=None) -> HSSMatrix:
     """Construct an HSSMatrix from a matvec closure + element function.
 
     mult(X, trans) -> A @ X (trans False) or A^H @ X (trans True)
@@ -109,8 +110,18 @@ def hss_from_sampling(mult, elem, m, leaf_size=64, max_rank=32,
         R = R / np.sqrt(nnz_col)
     else:
         R = jax.random.normal(key, (m, d), dtype)
+    if constrain is not None:
+        # intra-front distribution (FrontHSSMPI / DistSamples role):
+        # the sampling matvecs and the node-batched compression shard
+        # over the mesh via the caller's constraint callback — the
+        # sample-column axis d and the leaf/node batch axis survive
+        # every level transition, so GSPMD partitions cleanly (unlike
+        # the HODLR block axis, MULTICHIP_r03 remat warnings)
+        R = constrain(R)
     S = mult(R, False)
     Sc = mult(R, True)
+    if constrain is not None:
+        S, Sc = constrain(S), constrain(Sc)
 
     def pad(M):
         return jnp.zeros((mp, M.shape[1]), dtype).at[:m].set(M)
@@ -127,6 +138,8 @@ def hss_from_sampling(mult, elem, m, leaf_size=64, max_rank=32,
                   jnp.eye(t, dtype=dtype)[None])
 
     Rb = Rp.reshape(nl, t, d)
+    if constrain is not None:
+        D, Rb = constrain(D), constrain(Rb)
     Floc = Sp.reshape(nl, t, d) - jnp.einsum("nts,nsd->ntd", D, Rb)
     Floc = jnp.where(in_range[:, :, None], Floc, 0.0)
     X, Jl, rksU = _id_rows(Floc, tol, r)
