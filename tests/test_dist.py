@@ -585,3 +585,23 @@ def test_awkward_device_counts(nd):
     x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
     res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
     assert res < 1e-12, (nd, res)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cyclic_blocked_lu():
+    """shard_map-OWNED tile-cyclic 2D LU (ScaLAPACK MB=NB block-cyclic
+    role, DistributedMatrix.hpp:84): matches a dense solve and the
+    contiguous-layout path."""
+    from strumpack_tpu.parallel.dist2d import (cyclic_blocked_lu,
+                                               sharded_lu_solve)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("r", "c"))
+    rng = np.random.default_rng(5)
+    m, blk = 1024, 128
+    A = rng.standard_normal((m, m)) + m * np.eye(m)
+    b = rng.standard_normal(m)
+    with mesh:
+        LU, perms = cyclic_blocked_lu(jnp.asarray(A), mesh, blk=blk)
+        x = np.asarray(sharded_lu_solve(LU, perms, jnp.asarray(b), mesh,
+                                        blk=blk))
+    res = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+    assert res < 1e-10, res
