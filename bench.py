@@ -359,8 +359,9 @@ def main_with_retry():
     extra_env = {"BENCH_SUPERLU_GFLOPS": str(superlu)}
 
     extra_configs = ["exact64", "blr50"]
-    if os.environ.get("BENCH_100", ""):
-        extra_configs.append("hodlr100")
+    if os.environ.get("BENCH_100", "1") not in ("", "0"):
+        extra_configs.append("hodlr100")   # config 3; runs LAST, only
+        #                                    with budget to spare
     for config in extra_configs:
         remaining = budget - (time.perf_counter() - t_start)
         if remaining < 240:
