@@ -626,6 +626,12 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None):
     return jax.vmap(one)(F)
 
 
+# batched sampling buckets with fronts at least this wide run their
+# fronts SEQUENTIALLY (lax.map) instead of vmapped, bounding peak HBM to
+# one front's working set (FrontGPU split_smaller spirit)
+SAMP_SEQ_MIN = 2048
+
+
 def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed,
                       constrain=None):
     """Sampling-constructed HSS fronts — root AND interior
@@ -660,24 +666,30 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed,
     r2 = max(4, int(bp.hss_rank))
     d2 = r2 + 16
 
-    # children CB blocks via the extend-add pairs: [nf, uc, uc] + validity
-    side_data = []
-    for pairs, poskey in ((bd.pairsL, "posL"), (bd.pairsR, "posR")):
-        for (bk, uc, key) in pairs:
-            entry = cb_list[bk]
-            idx = a[key]
-            nfc = entry.shape[0]
-            selc = jnp.clip(idx, 0, max(nfc - 1, 0))
-            if isinstance(entry, BLRCB):
-                # per-selection densify (the 100^3 OOM fix in
-                # _extend_add_blocks): select compressed rows, THEN
-                # densify only the consumer's batch
-                Cb = _cb_dense(jax.tree_util.tree_map(
-                    lambda x: x[selc], entry))
-            else:
-                Cb = entry[selc]
-            C = Cb * (idx >= 0).astype(dtype)[:, None, None]
-            side_data.append((a[poskey], C))
+    # children CB blocks via the extend-add pairs (metadata now; the
+    # dense [*, uc, uc] blocks materialize per execution path below —
+    # the vmapped path used to densify EVERY front's children at once,
+    # 2+ GB per big bucket at 100^3)
+    pair_meta = [(poskey, key, bk, uc)
+                 for pairs, poskey in ((bd.pairsL, "posL"),
+                                      (bd.pairsR, "posR"))
+                 for (bk, uc, key) in pairs]
+
+    def _dense_side(bk, idx, batched=True):
+        """Densify the selected child CB rows; idx [nf] or scalar."""
+        entry = cb_list[bk]
+        nfc = entry.shape[0]
+        selc = jnp.clip(idx, 0, max(nfc - 1, 0))
+        one_sel = selc[None] if selc.ndim == 0 else selc
+        if isinstance(entry, BLRCB):
+            Cb = _cb_dense(jax.tree_util.tree_map(
+                lambda x: x[one_sel], entry))
+        else:
+            Cb = entry[one_sel]
+        valid = (idx >= 0).astype(dtype)
+        if batched:
+            return Cb * valid[:, None, None]
+        return Cb[0] * valid
 
     def one(ell, ellT, sides):
         """Build + factor one front from its closures; sides is a list of
@@ -770,11 +782,44 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed,
     ell_all = (a["samp_ell_cols"], a["samp_ell_vidx"])
     ellT_all = (a["samp_ellT_cols"], a["samp_ellT_vidx"])
     if nf == 1:
+        sides = [(a[poskey][0], _dense_side(bk, a[key][0], batched=False))
+                 for (poskey, key, bk, uc) in pair_meta]
         H, S12, F21, CB = one(
             jax.tree_util.tree_map(lambda x: x[0], ell_all),
-            jax.tree_util.tree_map(lambda x: x[0], ellT_all),
-            [(pos[0], C[0]) for pos, C in side_data])
+            jax.tree_util.tree_map(lambda x: x[0], ellT_all), sides)
         return H, S12, F21, CB[None]
+    if max(uP, sP) >= SAMP_SEQ_MIN:
+        # big batched sampling bucket: SEQUENTIAL per-front scan
+        # (lax.map), so one front's children + outputs bound peak HBM —
+        # the vmapped path holds every front's dense child CBs and CB
+        # at once (the round-4 100^3 execution OOM); CBs compress
+        # inside the body when the bucket carries cb_comp
+        xs = (ell_all, ellT_all,
+              tuple(a[poskey] for (poskey, _k, _b, _u) in pair_meta),
+              tuple(a[key] for (_p, key, _b, _u) in pair_meta))
+
+        def seq_body(x):
+            ell, ellT, poss, idxs = x
+            sides = [(poss[i], _dense_side(pair_meta[i][2], idxs[i],
+                                           batched=False))
+                     for i in range(len(pair_meta))]
+            H1, S121, F211, CB1 = one(ell, ellT, sides)
+            if getattr(bp, "cb_comp", 0) and CB1.size:
+                r_cb = (getattr(bp, "cb_rank", 0)
+                        or max(bp.cb_comp // 4, 8))
+                CB1 = _compress_cb(CB1[None], bp.cb_comp,
+                                   jnp.asarray(hss_tol), r_cb)
+            else:
+                CB1 = CB1[None]
+            return H1, S121, F211, CB1
+
+        H, S12, F21, CB = jax.lax.map(seq_body, xs)
+        # drop the inner [1, ...] batch dim the per-front compression
+        # introduced (lax.map stacked it to [nf, 1, ...])
+        CB = jax.tree_util.tree_map(lambda x: x[:, 0], CB)
+        return H, S12, F21, CB
+    side_data = [(a[poskey], _dense_side(bk, a[key]))
+                 for (poskey, key, bk, uc) in pair_meta]
     H, S12, F21, CB = jax.vmap(one)(ell_all, ellT_all, side_data)
     return H, S12, F21, CB
 
@@ -942,7 +987,8 @@ def _bucket_factor_step(li, bi, bd, a, vals_ext, cb_list, thresh, tol,
                                             hss_tol, dtype,
                                             seed=li * 131 + bi)
         out["hss"][key] = (H, S12, F21)
-        if getattr(bp, "cb_comp", 0) and CB.size:
+        if (getattr(bp, "cb_comp", 0) and not isinstance(CB, BLRCB)
+                and CB.size):
             r_cb = getattr(bp, "cb_rank", 0) or max(bp.cb_comp // 4, 8)
             CB = _compress_cb(CB, bp.cb_comp, tol, r_cb)
         return CB
