@@ -2,10 +2,10 @@
 on one TPU chip (reference headline: SparseSolver with --sp_compression on
 a 1M-dof Poisson problem; BASELINE.md config 3).
 
-Final config from the round-3 capacity campaign (PERF.md): BLR below
-sep 2048 (rank cap 32, BLR-compressed CBs at rank 16), HODLR above
-(leaf 256, rank cap 128) — the composite keeps the top fronts'
-working set O(s r log s) so a million unknowns fit 16 GB HBM.
+Round-4 config: lossy (bf16) dense factors below sep 256, BLR with
+rank-16-compressed CBs up to 4096, SAMPLING-built HSS above (leaf 512,
+rank 256, never densely assembled; sequential per-front execution) —
+the composite keeps a million unknowns inside 16 GB HBM.
 
 Usage: python examples/campaign_100.py [n]
 """
@@ -35,15 +35,20 @@ def main(argv):
     n = int(argv[1]) if len(argv) > 1 else 100
     opts = st.SPOptions(verbose=True, factor_dtype="float32",
                         refine_dtype="float32")
-    opts.compression = CompressionType.BLR_HODLR
-    opts.hodlr_min_sep_size = 2048
+    opts.compression = CompressionType.ZFP_BLR_HODLR
+    opts.hss.sampling = True      # sampling-built HSS tops: the giant
+    #                               fronts are never assembled densely
+    opts.hodlr_min_sep_size = 4096
     opts.compression_min_sep_size = 256
     opts.blr.max_rank = 32
     opts.blr.rel_tol = 1e-4
     opts.blr.cb_compression = True
     opts.blr.cb_rank_cap = 16
-    opts.hss.leaf_size = 256      # shared hodlr leaf/rank knobs
-    opts.hss.max_rank = 128
+    # top-front capacity: rank 128 at the 12288-wide root stalls the
+    # preconditioned GMRES at ~7e-2 (round-4 measurement); 256/512 is
+    # preconditioner-grade at 1e-4
+    opts.hss.leaf_size = 512
+    opts.hss.max_rank = 256
     opts.hss.rel_tol = 1e-4
     opts.krylov_solver = KrylovSolver.PREC_GMRES
     opts.rel_tol = 1e-4
