@@ -245,12 +245,12 @@ def main():
                          compression=CompressionType.ZFP_BLR_HODLR,
                          compression_min_sep_size=256)
         opts.hss.sampling = True
-        opts.hodlr_min_sep_size = 4096
+        opts.hodlr_min_sep_size = 2048
         opts.blr.max_rank = 32
         opts.blr.rel_tol = 1e-4
         opts.blr.cb_compression = True
         opts.blr.cb_rank_cap = 16
-        opts.hss.leaf_size = 512
+        opts.hss.leaf_size = 256
         opts.hss.max_rank = 256
         opts.hss.rel_tol = 1e-4
         from strumpack_tpu import SparseSolver

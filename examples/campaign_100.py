@@ -38,16 +38,17 @@ def main(argv):
     opts.compression = CompressionType.ZFP_BLR_HODLR
     opts.hss.sampling = True      # sampling-built HSS tops: the giant
     #                               fronts are never assembled densely
-    opts.hodlr_min_sep_size = 4096
+    opts.hodlr_min_sep_size = 2048
     opts.compression_min_sep_size = 256
     opts.blr.max_rank = 32
     opts.blr.rel_tol = 1e-4
     opts.blr.cb_compression = True
     opts.blr.cb_rank_cap = 16
     # top-front capacity: rank 128 at the 12288-wide root stalls the
-    # preconditioned GMRES at ~7e-2 (round-4 measurement); 256/512 is
-    # preconditioner-grade at 1e-4
-    opts.hss.leaf_size = 512
+    # preconditioned GMRES at ~7e-2, and leaf 512 + BLR-to-4096 blew
+    # HBM; rank 256 at leaf 256 measured preconditioner-grade on the
+    # 6144-wide 64^3 root (its=5, residual 9.7e-5)
+    opts.hss.leaf_size = 256
     opts.hss.max_rank = 256
     opts.hss.rel_tol = 1e-4
     opts.krylov_solver = KrylovSolver.PREC_GMRES

@@ -439,6 +439,11 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
         for bi_b, bp in enumerate(level_buckets):
             m = keep & (ebkt == bi_b)
             if bp.hss_sample:
+                # THIS bucket's padded front width (the loop variable p
+                # above still holds the LAST bucket's width — a latent
+                # mismatch whenever a level mixes sampling buckets of
+                # different shapes, round-4 fix)
+                p = int(bp.s_pad + bp.u_pad)
                 # sampling fronts: no dense assembly — store the sparse
                 # block as per-front ELL in PADDED front-local slot
                 # indexing (rows/cols = front slots 0..p; F11 identity-

@@ -218,3 +218,35 @@ def test_fused_big_front_guard(monkeypatch):
     # (b) the segmented (production) result is correct
     res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
     assert res < 1e-2, res
+
+
+def test_sampling_bucket_sequential_matches_vmapped(monkeypatch):
+    """Big batched sampling buckets run per-front lax.map (memory-bounded
+    path, SAMP_SEQ_MIN); forced on a small problem it must match the
+    vmapped path's solution."""
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.options import CompressionType
+
+    def run():
+        A = poisson3d(16)
+        opts = SPOptions(rel_tol=1e-8,
+                         krylov_solver=KrylovSolver.PREC_GMRES,
+                         compression=CompressionType.HSS,
+                         compression_min_sep_size=64, nd_leaf=8)
+        opts.hss.sampling = True
+        opts.hss.leaf_size = 32
+        opts.hss.max_rank = 32
+        opts.hss.rel_tol = 1e-8
+        s = SparseSolver(opts)
+        s.set_csr_matrix(A)
+        b = A.spmv(np.ones(A.n))
+        x, rc = s.solve(b)
+        assert rc == ReturnCode.SUCCESS
+        return x, A.max_scaled_residual(x, b)
+
+    monkeypatch.setattr(numeric, "SAMP_SEQ_MIN", 1 << 30)
+    x_vmap, res_v = run()
+    monkeypatch.setattr(numeric, "SAMP_SEQ_MIN", 8)
+    x_seq, res_s = run()
+    assert res_v < 1e-5 and res_s < 1e-5, (res_v, res_s)
+    assert np.allclose(x_vmap, x_seq, rtol=1e-8, atol=1e-10)
