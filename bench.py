@@ -253,6 +253,7 @@ def main():
         opts.hss.leaf_size = 256
         opts.hss.max_rank = 256
         opts.hss.rel_tol = 1e-4
+        opts.maxit = 200            # bound a stalled GMRES; its reported
         from strumpack_tpu import SparseSolver
         A = poisson3d(100)
         s = SparseSolver(opts)
