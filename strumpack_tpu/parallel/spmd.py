@@ -572,9 +572,24 @@ def _big_factor(sp, li, bi, bigs, vals_ext, cb_full, th, tol, out,
         F = numeric._extend_add_blocks(F, cb_full, a["posR"], bd.pairsR,
                                        a, pallas_ok=False)
     if mode == "grid":
-        from .dist2d import grid_partial_factor
-        lu, perm, L21, U12, CB = grid_partial_factor(
-            F, mesh, sp.row_axes, sp.col_axes, th, bp.s_pad)
+        from .dist2d import (grid_partial_factor, cyclic_partial_factor,
+                             _cyclic_blk)
+        import os as _os3
+        pr = pc = 1
+        for ax in sp.row_axes:
+            pr *= mesh.shape[ax]
+        for ax in sp.col_axes:
+            pc *= mesh.shape[ax]
+        use_cyc = (_os3.environ.get("STRUMPACK_TPU_CYCLIC")
+                   and _cyclic_blk(bp.p, bp.s_pad, pr, pc))
+        if use_cyc:
+            # tile-cyclic owned layout: balanced tail panels
+            # (FrontDenseMPI ScaLAPACK pattern, VERDICT r3 gap 7)
+            lu, perm, L21, U12, CB = cyclic_partial_factor(
+                F, mesh, sp.row_axes, sp.col_axes, th, bp.s_pad)
+        else:
+            lu, perm, L21, U12, CB = grid_partial_factor(
+                F, mesh, sp.row_axes, sp.col_axes, th, bp.s_pad)
         if bp.lossy:
             lu = numeric._quantize(lu, bp.lossy)
             L21 = numeric._quantize(L21, bp.lossy)

@@ -605,3 +605,63 @@ def test_cyclic_blocked_lu():
                                         blk=blk))
     res = np.linalg.norm(A @ x - b) / np.linalg.norm(b)
     assert res < 1e-10, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cyclic_partial_factor_contract():
+    """cyclic_partial_factor matches the grid_partial_factor bucket
+    contract exactly: same Schur complement (pivot-invariant) and a
+    machine-precision P A = L U reconstruction with the blockdiag
+    per-tile permutation (FrontDenseMPI.cpp:150-205 ScaLAPACK
+    block-cyclic role, wired into the front path)."""
+    from strumpack_tpu.parallel.dist2d import (cyclic_partial_factor,
+                                               grid_partial_factor)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("r", "c"))
+    rng = np.random.default_rng(7)
+    nf, p, s = 2, 768, 512
+    F = rng.standard_normal((nf, p, p)) + p * np.eye(p)
+    Fj = jnp.asarray(F)
+    with mesh:
+        lu, perm, L21, U12, CB = cyclic_partial_factor(
+            Fj, mesh, ("r",), ("c",), 1e-12, s)
+        CBg = grid_partial_factor(Fj, mesh, ("r",), ("c",), 1e-12, s)[4]
+    lu, perm, L21, U12, CB = map(np.asarray, (lu, perm, L21, U12, CB))
+    assert (np.linalg.norm(CB - np.asarray(CBg))
+            / np.linalg.norm(np.asarray(CBg))) < 1e-12
+    for f in range(nf):
+        A_p = F[f][np.concatenate([perm[f], np.arange(s, p)])]
+        L = np.tril(lu[f], -1) + np.eye(s)
+        U = np.triu(lu[f])
+        R = np.block([[L @ U, L @ U12[f]],
+                      [L21[f] @ U, L21[f] @ U12[f] + CB[f]]])
+        rel = np.linalg.norm(R - A_p) / np.linalg.norm(F[f])
+        assert rel < 1e-13, (f, rel)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cyclic_fronts_end_to_end(monkeypatch):
+    """STRUMPACK_TPU_CYCLIC=1 routes big dense buckets through the
+    tile-cyclic owned layout inside the full mesh factor+solve and the
+    residual matches the grid path."""
+    from strumpack_tpu.parallel import spmd
+    from strumpack_tpu.sparse.gen import poisson3d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+
+    monkeypatch.setenv("STRUMPACK_TPU_CYCLIC", "1")
+    nx = 16
+    A = poisson3d(nx)
+    perm, iperm, tree = geometric_nd(nx, nx, nx, leaf=8)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    plan = build_plan(Ap, tree, upd)
+    pdev = numeric.PlanDev(plan)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("b",))
+    modes, _ = spmd.choose_modes(pdev, mesh)
+    assert any(m == "grid" for m in modes.values())
+    fn = spmd.make_sharded_factor_solve(pdev, mesh, dtype=jnp.float64)
+    b = Ap.spmv(np.ones(Ap.n))
+    x = np.asarray(fn(jnp.asarray(Ap.data), jnp.asarray(b)))
+    res = np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b)
+    assert res < 1e-12, res
