@@ -122,6 +122,169 @@ def bf_compress(A, D: int, r: int, tol):
                 rkU=rkU, rkV=rkV)
 
 
+def _randn(key, shape, dtype):
+    """Gaussian test matrix of the given (possibly complex) dtype."""
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        rdt = jnp.zeros((), dtype).real.dtype
+        kr, ki = jax.random.split(key)
+        return (jax.random.normal(kr, shape, rdt)
+                + 1j * jax.random.normal(ki, shape, rdt)).astype(dtype) \
+            * (0.5 ** 0.5)
+    return jax.random.normal(key, shape, dtype)
+
+
+def _blockdiag_cols(OmB, cols, dtype):
+    """Arrange per-partner test blocks OmB [nj, C2, k] into one
+    block-diagonal sample matrix [cols, nj*k] (columns j-major), so one
+    operator application samples every partner's column block at once."""
+    nj, C2, k = OmB.shape
+    full = jnp.einsum("jck,jJ->jcJk", OmB,
+                      jnp.eye(nj, dtype=OmB.dtype))
+    return full.reshape(cols, nj * k).astype(dtype)
+
+
+def bf_compress_rand(matvec, rmatvec, m, n, D: int, r: int, tol,
+                     key=None, oversample: int = 8, dtype=None):
+    """Butterfly-compress a black-box operator from matrix-vector products
+    only — the role of ButterflyPACK's randomized (matvec-driven) butterfly
+    construction used by the reference's HODLRMatrix/ButterflyMatrix
+    compress-from-multiply entry points (HODLRMatrix.hpp:215 `compress(mult)`,
+    HODLRWrapper.cpp bpack_construct_matvec).
+
+    ``matvec(X)``: [n, k] -> A @ X [m, k]; ``rmatvec(Y)``: [m, k] ->
+    A^H @ Y [n, k].  Returns the same pytree dict as :func:`bf_compress`.
+
+    Per transfer level l the partner column nodes j (level D-l) are sampled
+    simultaneously with ONE block-diagonal Gaussian test matrix (nj*(r+p)
+    columns); the raw samples are projected into the already-computed
+    child coordinates by replaying the leaf-basis + transfer chain (each
+    replay is a batched einsum over all (row-node, partner) pairs — no
+    recursion, TPU/MXU-shaped).  The mid-level core is fit by least squares
+    against a fresh sample round (B = Rs W^+), avoiding any extra operator
+    applications beyond the O(sqrt(2^D) (r+p)) sampling columns."""
+    assert D >= 2 and D % 2 == 0
+    h = D // 2
+    nl = 2 ** D
+    assert m % nl == 0 and n % nl == 0
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k = r + oversample
+
+    if dtype is None:
+        dtype = matvec(jnp.zeros((n, 1))).dtype
+    tol = jnp.asarray(tol, jnp.real(jnp.zeros((), dtype)).dtype)
+
+    def leaf_basis(blocks, b):
+        if r >= b:
+            U = jnp.zeros((nl, b, r), dtype)
+            U = U.at[:, :, :b].set(jnp.eye(b, dtype=dtype)[None])
+            return U, jnp.full((nl,), b)
+        return _trunc_basis(blocks, tol, r)
+
+    def chain(Yp, U, Ts, stop_l, nj):
+        """Project raw samples Yp [rows, nj, k] into level-``stop_l``
+        compressed coordinates: returns [2^stop_l, nj, r, k]."""
+        rows = Yp.shape[0]
+        b = rows // nl
+        c = jnp.einsum("nbr,nbjk->njrk", U.conj(),
+                       Yp.reshape(nl, b, nj, k))
+        for t in range(D - 1, stop_l - 1, -1):
+            ni_t, nj_t = 2 ** t, 2 ** (D - t)
+            cp = c.reshape(ni_t, 2, nj, r, k)
+            stacked = jnp.concatenate([cp[:, 0], cp[:, 1]], axis=2)
+            Te = jnp.repeat(Ts[t], nj // nj_t, axis=1)
+            c = jnp.einsum("ijkr,ijkc->ijrc", Te.conj(), stacked)
+        return c
+
+    def sampled_sweep(mv, rows, cols, key):
+        b = rows // nl
+        key, sk = jax.random.split(key)
+        Y = mv(_randn(sk, (cols, k), dtype))
+        U, rk = leaf_basis(Y.reshape(nl, b, k), b)
+        Ts = {}
+        for l in range(D - 1, h - 1, -1):
+            ni, nj = 2 ** l, 2 ** (D - l)
+            C2 = cols // nj
+            key, sk = jax.random.split(key)
+            OmB = _randn(sk, (nj, C2, k), dtype)
+            Y = mv(_blockdiag_cols(OmB, cols, dtype))
+            c = chain(Y.reshape(rows, nj, k), U, Ts, l + 1, nj)
+            S = c.reshape(ni, 2, nj, r, k).transpose(0, 2, 1, 3, 4)
+            S = S.reshape(ni, nj, 2 * r, k)
+            T, _ = _trunc_basis(S.reshape(-1, 2 * r, k), tol, r)
+            Ts[l] = T.reshape(ni, nj, 2 * r, r)
+        return U, Ts, rk, key
+
+    Uleaf, Tr, rkU, key = sampled_sweep(matvec, m, n, key)
+    Vleaf, Tv, rkV, key = sampled_sweep(rmatvec, n, m, key)
+
+    # explicit mid-level col bases (orthonormal columns by construction),
+    # identical recurrence to the dense bf_compress
+    Vbig = Vleaf[:, None]
+    for l in range(D - 1, h - 1, -1):
+        ni, nj = 2 ** l, 2 ** (D - l)
+        blk = n // (2 ** (l + 1))
+        Vp = Vbig.reshape(ni, 2, nj // 2, blk, r)
+        Tl = Tv[l]
+        bd = jnp.zeros((ni, nj // 2, 2 * blk, 2 * r), Tl.dtype)
+        bd = bd.at[:, :, :blk, :r].set(Vp[:, 0])
+        bd = bd.at[:, :, blk:, r:].set(Vp[:, 1])
+        bd = jnp.repeat(bd, 2, axis=1)
+        Vbig = jnp.einsum("ijkr,ijrs->ijks", bd, Tl)
+    # Vbig [2^h (col j), 2^h (row i), n/2^h, r]
+
+    # fresh sample round at the mid level for the core fit
+    njh = 2 ** h
+    Ch = n // njh
+    key, sk = jax.random.split(key)
+    OmB = _randn(sk, (njh, Ch, k), dtype)
+    Y = matvec(_blockdiag_cols(OmB, n, dtype))
+    Rs = chain(Y.reshape(m, njh, k), Uleaf, Tr, h, njh)   # [2^h, njh, r, k]
+    W = jnp.einsum("jibr,jbk->jirk", Vbig.conj(), OmB)    # [j, i, r, k]
+    G = jnp.einsum("jirk,jisk->jirs", W, W.conj())
+    Brhs = jnp.einsum("ijrk,jisk->ijrs", Rs, W.conj())
+    rdt = jnp.real(jnp.zeros((), dtype)).dtype
+    dg = jnp.abs(jnp.einsum("jirr->ji", G)).astype(rdt)
+    eps = (1e-10 * jnp.maximum(dg, 1.0) / r)[..., None, None]
+    Ginv = jnp.linalg.inv(G + eps * jnp.eye(r, dtype=dtype))
+    B = jnp.einsum("ijrs,jist->ijrt", Brhs, Ginv)
+    return dict(Uleaf=Uleaf, Vleaf=Vleaf, B=B, Tr=Tr, Tv=Tv,
+                rkU=rkU, rkV=rkV)
+
+
+def bf_compress_rand_adaptive(matvec, rmatvec, m, n, D: int, r0: int,
+                              tol, key=None, vtol=None, rmax=None,
+                              oversample: int = 8, probes: int = 4):
+    """Adaptive-rank randomized butterfly compression (the ButterflyPACK
+    rank-adaptation loop around its matvec-driven construction): compress
+    at rank r, validate against ``probes`` fresh operator applications,
+    and double the rank until the relative probe error meets ``vtol`` or
+    the rank reaches ``rmax`` (default: the rank at which the mid-level
+    core is as large as the dense block — the exactness ceiling).
+
+    Returns (bf, r, err): the pytree, the rank it was built at (needed by
+    bf_matvec), and the measured probe error."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if rmax is None:
+        rmax = max(r0, min(m, n) // (2 ** (D // 2)))
+    if vtol is None:
+        vtol = 30.0 * float(tol)
+    r = min(r0, rmax)
+    dtype = matvec(jnp.zeros((n, 1))).dtype
+    while True:
+        key, kc, kv = jax.random.split(key, 3)
+        bf = bf_compress_rand(matvec, rmatvec, m, n, D, r, tol, key=kc,
+                              oversample=oversample, dtype=dtype)
+        X = _randn(kv, (n, probes), dtype)
+        Y = matvec(X)
+        err = float(jnp.linalg.norm(bf_matvec(bf, X, D, r) - Y)
+                    / jnp.maximum(jnp.linalg.norm(Y), 1e-300))
+        if err <= vtol or r >= rmax:
+            return bf, r, err
+        r = min(2 * r, rmax)
+
+
 def bf_matvec(bf, x, D: int, r: int):
     """Apply a butterfly factorization to x [n, k] -> [m, k]."""
     h = D // 2

@@ -13,11 +13,23 @@ TPU-first design choices:
 * every level's pair of sibling off-diagonal blocks is compressed /
   applied as ONE ``vmap``-ed butterfly kernel over the [2^lev] block
   batch (bf_compress / bf_matvec are functional pytree transforms);
-* ButterflyPACK factors HODBF exactly with randomized butterfly
-  inversion; here ``solve`` is an outer GMRES on the fast HODBF matvec
-  preconditioned by an HODLR (low-rank SMW) factorization of the same
-  matrix — same capability surface (compress / matvec / factor / solve),
-  compiler-friendly static shapes throughout.
+* TRUE direct factorization (the bpack_factor / bpack_inv_mult role of
+  the reference's HODLRWrapper.cpp randomized butterfly inversion): the
+  exact multiplicative telescoping
+
+      A_node = blkdiag(A_1, A_2) @ [[I, G12], [G21, I]],
+      G12 = A_1^{-1} B12,   G21 = A_2^{-1} B21,
+
+  applied bottom-up over the HODLR tree.  The G blocks are themselves
+  butterfly-compressed from black-box products (bf_compress_rand — the
+  randomized matvec-driven construction), and the level correction is
+  solved through its Schur operator W = I - G21 G12, which is compressed
+  from matvecs as a NEW (half-size) HODBF and factored recursively —
+  dense LU below a cutoff.  Solves apply the factor chain exactly (no
+  outer Krylov iteration); an optional iterative-refinement pass mops up
+  the compression-truncation error.  The pre-round-4 scheme (outer GMRES
+  on the HODBF matvec with an HODLR-SMW preconditioner) remains
+  available as ``solve_iterative``.
 """
 from __future__ import annotations
 
@@ -25,9 +37,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .butterfly import bf_compress, bf_matvec, bf_depth, bf_memory
-from .hodlr import HODLRMatrix
+from .butterfly import (bf_compress, bf_compress_rand,
+                        bf_compress_rand_adaptive, bf_matvec,
+                        bf_rmatvec, bf_depth, bf_memory, _randn)
 from .hss import _pad_pow2
+
+
+def _tslice(bf, q):
+    """Select pair ``q`` from a butterfly pytree with a leading batch axis."""
+    return jax.tree_util.tree_map(lambda a: a[q], bf)
+
+
+def _bf_fit(mv, rmv, ml, Dh, r, tol, key, dtype, use_rand, fixed=False):
+    """Butterfly-fit a black-box [ml, ml] block at rank >= r: randomized
+    (sampling only) when the block is deep/large enough, densified
+    otherwise; rank-adaptive unless ``fixed``.  Returns (bf, rank)."""
+    if use_rand:
+        if fixed:
+            return bf_compress_rand(mv, rmv, ml, ml, Dh, r, tol, key=key,
+                                    dtype=dtype), r
+        bf, ru, _ = bf_compress_rand_adaptive(mv, rmv, ml, ml, Dh, r,
+                                              tol, key=key)
+        return bf, ru
+    I = jnp.eye(ml, dtype=dtype)
+    M = mv(I)
+    rmax = max(r, ml // max(1, 2 ** (Dh // 2)))
+    while True:
+        bf = bf_compress(M, Dh, r, tol)
+        if fixed or r >= rmax:
+            return bf, r
+        nrm = float(jnp.linalg.norm(M))
+        err = (float(jnp.linalg.norm(bf_matvec(bf, I, Dh, r) - M))
+               / max(nrm, 1e-300))
+        if err <= 30.0 * float(tol):
+            return bf, r
+        r = min(2 * r, rmax)
+
+
+def _lu(A):
+    return jax.scipy.linalg.lu_factor(A)
+
+
+def _lu_solve(f, b, adjoint=False):
+    return jax.scipy.linalg.lu_solve(f, b, trans=2 if adjoint else 0)
 
 
 class HODBFMatrix:
@@ -40,12 +92,8 @@ class HODBFMatrix:
         self.rel_tol = rel_tol
         self.dtype = A.dtype
         self._compress(A)
-        # HODLR (SMW) preconditioner over the same matrix: rank-truncated
-        # off-diagonals are inexact for oscillatory operators but make an
-        # effective preconditioner for the outer GMRES in solve().
-        self._prec = HODLRMatrix(A, leaf_size=self.t, max_rank=self.r,
-                                 rel_tol=max(rel_tol, 1e-8))
-        self._factored = False
+        self._prec = None
+        self._factored = None
 
     def _compress(self, A):
         m, mp, t, r, L = self.m, self.mp, self.t, self.r, self.L
@@ -76,12 +124,147 @@ class HODBFMatrix:
             A12 = Ar[i1, :, i2, :]    # [half, ml, ml]
             A21 = Ar[i2, :, i1, :]
             Dh = bf_depth(ml, self.t)
-            rl = min(r, max(8, ml // 2))
+            rl = min(self.r, max(8, ml // 2))
             comp = jax.vmap(lambda Ab: bf_compress(Ab, Dh, rl, tol))
             self.bf12.append(comp(A12))
             self.bf21.append(comp(A21))
             self.bf_D.append(Dh)
             self.bf_r.append(rl)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_matvec(cls, matvec, rmatvec, m, leaf_size=64, max_rank=None,
+                    rel_tol=1e-6, key=None, dtype=None,
+                    dense_block_cutoff=128):
+        """Randomized HODBF compression from black-box products only —
+        the reference's HODLRMatrix compress-from-multiply entry
+        (HODLRMatrix.hpp:215 `compress(mult)`, HODLRWrapper.cpp
+        bpack_construct_matvec).  ``matvec``/``rmatvec`` map [m, k]
+        blocks of vectors through A / A^H.  Leaf diagonal blocks are
+        extracted exactly with block-identity products; off-diagonal
+        sibling blocks are butterfly-compressed from column-restricted
+        products (support-disjoint, so no cross-block pollution), via
+        bf_compress_rand when the block is deep enough and via a
+        densified block otherwise."""
+        self = cls.__new__(cls)
+        self.m = int(m)
+        self.t = int(leaf_size)
+        self.mp, self.L = _pad_pow2(self.m, self.t)
+        self.r = int(max_rank) if max_rank else max(8, self.t // 2)
+        self.rel_tol = rel_tol
+        if key is None:
+            key = jax.random.PRNGKey(11)
+        if dtype is None:
+            dtype = matvec(jnp.zeros((m, 1))).dtype
+        self.dtype = dtype
+        mp, L, t = self.mp, self.L, self.t
+        if mp != m:
+            def pmv(X, mv=matvec):
+                Y = jnp.zeros((mp, X.shape[1]), dtype)
+                Y = Y.at[:m].set(mv(X[:m]))
+                return Y.at[m:].set(X[m:])
+
+            def prmv(X, rmv=rmatvec):
+                Y = jnp.zeros((mp, X.shape[1]), dtype)
+                Y = Y.at[:m].set(rmv(X[:m]))
+                return Y.at[m:].set(X[m:])
+        else:
+            pmv, prmv = matvec, rmatvec
+        tol = jnp.asarray(rel_tol, jnp.real(jnp.zeros((), dtype)).dtype)
+        nl = 2 ** L
+        # exact leaf diagonal extraction: block identity columns are
+        # support-restricted, so rows of the same block see only D_q
+        diags = []
+        for q in range(nl):
+            E = jnp.zeros((mp, t), dtype)
+            E = E.at[q * t:(q + 1) * t].set(jnp.eye(t, dtype=dtype))
+            diags.append(pmv(E)[q * t:(q + 1) * t])
+        self.D = jnp.stack(diags)
+        self.bf12, self.bf21, self.bf_D, self.bf_r = [], [], [], []
+        for lev in range(L - 1, -1, -1):
+            half = 2 ** lev
+            ml = mp // (2 * half)
+            Dh = bf_depth(ml, t)
+            rl = min(self.r, max(8, ml // 2))
+            p12, p21 = [], []
+            for p in range(half):
+                r0 = 2 * p * ml          # child-1 rows
+                r1 = r0 + ml             # child-2 rows
+
+                def blk_mv(X, lo, ro, op):
+                    Z = jnp.zeros((mp, X.shape[1]), dtype)
+                    Z = Z.at[lo:lo + ml].set(X)
+                    return op(Z)[ro:ro + ml]
+
+                mv12 = lambda X: blk_mv(X, r1, r0, pmv)       # noqa: E731
+                rmv12 = lambda X: blk_mv(X, r0, r1, prmv)     # noqa: E731
+                mv21 = lambda X: blk_mv(X, r0, r1, pmv)       # noqa: E731
+                rmv21 = lambda X: blk_mv(X, r1, r0, prmv)     # noqa: E731
+                use_rand = Dh >= 2 and ml > dense_block_cutoff
+                key, k1, k2 = jax.random.split(key, 3)
+                b12, r12 = _bf_fit(mv12, rmv12, ml, Dh, rl, tol, k1,
+                                   dtype, use_rand)
+                b21, r21 = _bf_fit(mv21, rmv21, ml, Dh, rl, tol, k2,
+                                   dtype, use_rand)
+                rl = max(rl, r12, r21)
+                p12.append((b12, r12))
+                p21.append((b21, r21))
+            # ranks must agree across the level's pair batch (the level
+            # is applied as ONE vmapped kernel) — rebuild any pair built
+            # below the level's converged rank
+            for ps, mvs in ((p12, (0, 1)), (p21, (1, 0))):
+                for p in range(half):
+                    if ps[p][1] == rl:
+                        continue
+                    r0p = 2 * p * ml + mvs[0] * ml
+                    r1p = 2 * p * ml + mvs[1] * ml
+                    mv = lambda X: blk_mv(X, r1p, r0p, pmv)   # noqa: E731
+                    rmv = lambda X: blk_mv(X, r0p, r1p, prmv)  # noqa: E731
+                    key, k1 = jax.random.split(key)
+                    ps[p] = (_bf_fit(mv, rmv, ml, Dh, rl, tol, k1,
+                                     dtype, use_rand, fixed=True)[0], rl)
+            stack = lambda ps: jax.tree_util.tree_map(     # noqa: E731
+                lambda *xs: jnp.stack(xs), *[b for b, _ in ps])
+            self.bf12.append(stack(p12))
+            self.bf21.append(stack(p21))
+            self.bf_D.append(Dh)
+            self.bf_r.append(rl)
+        self._prec = None
+        self._factored = None
+        return self
+
+    # ------------------------------------------------------------------
+    def _sub_matvec(self, d, q, x):
+        """Apply the sub-matrix of tree node (depth d, index q) to x
+        [msub, k] by slicing the level-batched butterfly arrays — node
+        (d, q)'s split blocks live at pair index q of level array
+        L-1-d."""
+        if d == self.L:
+            return jnp.matmul(self.D[q], x,
+                              preferred_element_type=self.dtype)
+        li = self.L - 1 - d
+        ml = self.mp >> (d + 1)
+        Dh, rl = self.bf_D[li], self.bf_r[li]
+        x1, x2 = x[:ml], x[ml:]
+        y1 = (self._sub_matvec(d + 1, 2 * q, x1)
+              + bf_matvec(_tslice(self.bf12[li], q), x2, Dh, rl))
+        y2 = (bf_matvec(_tslice(self.bf21[li], q), x1, Dh, rl)
+              + self._sub_matvec(d + 1, 2 * q + 1, x2))
+        return jnp.concatenate([y1, y2])
+
+    def _sub_rmatvec(self, d, q, x):
+        if d == self.L:
+            return jnp.matmul(self.D[q].conj().T, x,
+                              preferred_element_type=self.dtype)
+        li = self.L - 1 - d
+        ml = self.mp >> (d + 1)
+        Dh, rl = self.bf_D[li], self.bf_r[li]
+        x1, x2 = x[:ml], x[ml:]
+        y1 = (self._sub_rmatvec(d + 1, 2 * q, x1)
+              + bf_rmatvec(_tslice(self.bf21[li], q), x2, Dh, rl))
+        y2 = (bf_rmatvec(_tslice(self.bf12[li], q), x1, Dh, rl)
+              + self._sub_rmatvec(d + 1, 2 * q + 1, x2))
+        return jnp.concatenate([y1, y2])
 
     # ------------------------------------------------------------------
     def matvec(self, x):
@@ -107,15 +290,175 @@ class HODBFMatrix:
         return (y[:m, 0] if squeeze else y[:m])
 
     # ------------------------------------------------------------------
-    def factor(self):
-        self._prec.factor()
-        self._factored = True
+    # direct factorization (bpack_factor role)
+    def _factor_node(self, d, q, key, dense_cutoff):
+        """Factor node (d, q): returns the factor tree for
+        A_node = blkdiag(A_1, A_2) [[I, G12], [G21, I]] with the level
+        correction solved through W = I - G21 G12 (HODLRWrapper.cpp
+        bpack_factor — randomized butterfly inversion)."""
+        if d == self.L:
+            return dict(kind="leaf", lu=_lu(self.D[q]))
+        li = self.L - 1 - d
+        ml = self.mp >> (d + 1)
+        key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
+        f1 = self._factor_node(d + 1, 2 * q, k1, dense_cutoff)
+        f2 = self._factor_node(d + 1, 2 * q + 1, k2, dense_cutoff)
+        b12 = _tslice(self.bf12[li], q)
+        b21 = _tslice(self.bf21[li], q)
+        Dh, rl = self.bf_D[li], self.bf_r[li]
+        mv12 = lambda X: self._node_solve(              # noqa: E731
+            f1, bf_matvec(b12, X, Dh, rl))
+        rmv12 = lambda Y: bf_rmatvec(                   # noqa: E731
+            b12, self._node_rsolve(f1, Y), Dh, rl)
+        mv21 = lambda X: self._node_solve(              # noqa: E731
+            f2, bf_matvec(b21, X, Dh, rl))
+        rmv21 = lambda Y: bf_rmatvec(                   # noqa: E731
+            b21, self._node_rsolve(f2, Y), Dh, rl)
+        Dg = bf_depth(ml, self.t)
+        if ml <= dense_cutoff or Dg < 2:
+            I = jnp.eye(ml, dtype=self.dtype)
+            G12 = mv12(I)
+            G21 = mv21(I)
+            W = I - jnp.matmul(G21, G12,
+                               preferred_element_type=self.dtype)
+            return dict(kind="dense", f1=f1, f2=f2, ml=ml,
+                        G12=G12, G21=G21, W=_lu(W))
+        rg0 = min(2 * rl, ml // 2)
+        tg = self.rel_tol
+        G12, rg12, _ = bf_compress_rand_adaptive(
+            mv12, rmv12, ml, ml, Dg, rg0, tg, key=k3)
+        G21, rg21, _ = bf_compress_rand_adaptive(
+            mv21, rmv21, ml, ml, Dg, rg0, tg, key=k4)
+        wmv = lambda X: X - bf_matvec(                  # noqa: E731
+            G21, bf_matvec(G12, X, Dg, rg12), Dg, rg21)
+        wrmv = lambda Y: Y - bf_rmatvec(                # noqa: E731
+            G12, bf_rmatvec(G21, Y, Dg, rg21), Dg, rg12)
+        # the Schur correction W is a fresh half-size HODBF, compressed
+        # from its (cheap) matvec and factored by the same scheme
+        Wm = HODBFMatrix.from_matvec(
+            wmv, wrmv, ml, leaf_size=self.t,
+            max_rank=max(self.r, rg12, rg21),
+            rel_tol=self.rel_tol, key=k5, dtype=self.dtype,
+            dense_block_cutoff=dense_cutoff)
+        Wm.factor(dense_cutoff=dense_cutoff, key=k5)
+        return dict(kind="bf", f1=f1, f2=f2, ml=ml, Dg=Dg,
+                    rg12=rg12, rg21=rg21, G12=G12, G21=G21, W=Wm)
 
-    def solve(self, b, rtol=None, maxit=200):
-        """GMRES on the HODBF matvec, HODLR-SMW preconditioned."""
-        from ..krylov.solvers import gmres
-        if not self._factored:
+    def _g_apply(self, f, which, x, adjoint=False):
+        G = f[which]
+        if f["kind"] == "dense":
+            M = G.conj().T if adjoint else G
+            return jnp.matmul(M, x, preferred_element_type=self.dtype)
+        rg = f["rg12" if which == "G12" else "rg21"]
+        if adjoint:
+            return bf_rmatvec(G, x, f["Dg"], rg)
+        return bf_matvec(G, x, f["Dg"], rg)
+
+    def _w_solve(self, f, b, adjoint=False):
+        if f["kind"] == "dense":
+            return _lu_solve(f["W"], b, adjoint)
+        return (f["W"]._rsolve_padded(b) if adjoint
+                else f["W"]._solve_padded(b))
+
+    def _node_solve(self, f, b):
+        """x = A_node^{-1} b via children solves then the level
+        correction: z2 = W^{-1}(u2 - G21 u1), z1 = u1 - G12 z2."""
+        if f["kind"] == "leaf":
+            return _lu_solve(f["lu"], b)
+        ml = f["ml"]
+        u1 = self._node_solve(f["f1"], b[:ml])
+        u2 = self._node_solve(f["f2"], b[ml:])
+        z2 = self._w_solve(f, u2 - self._g_apply(f, "G21", u1))
+        z1 = u1 - self._g_apply(f, "G12", z2)
+        return jnp.concatenate([z1, z2])
+
+    def _node_rsolve(self, f, b):
+        """x = A_node^{-H} b: the correction adjoint solves through W^H
+        first, then the children adjoint solves."""
+        if f["kind"] == "leaf":
+            return _lu_solve(f["lu"], b, adjoint=True)
+        ml = f["ml"]
+        b1, b2 = b[:ml], b[ml:]
+        v2 = self._w_solve(
+            f, b2 - self._g_apply(f, "G12", b1, adjoint=True),
+            adjoint=True)
+        v1 = b1 - self._g_apply(f, "G21", v2, adjoint=True)
+        x1 = self._node_rsolve(f["f1"], v1)
+        x2 = self._node_rsolve(f["f2"], v2)
+        return jnp.concatenate([x1, x2])
+
+    # ------------------------------------------------------------------
+    def factor(self, dense_cutoff=256, key=None):
+        """TRUE direct factorization (bpack_factor role): bottom-up
+        multiplicative sweep with butterfly-compressed G blocks and
+        recursively factored Schur corrections."""
+        if key is None:
+            key = jax.random.PRNGKey(7)
+        self._froot = self._factor_node(0, 0, key, int(dense_cutoff))
+        self._factored = "direct"
+
+    def _solve_padded(self, b):
+        return self._node_solve(self._froot, b)
+
+    def _rsolve_padded(self, b):
+        return self._node_rsolve(self._froot, b)
+
+    def solve(self, b, rtol=None, maxit=3):
+        """Direct solve through the factor chain + a short iterative
+        refinement on the HODBF matvec to mop up butterfly truncation
+        (reference: bpack_solve + the outer refinement the sparse driver
+        wraps around compressed factors).  ``iterations`` records the IR
+        sweeps used."""
+        if self._factored != "direct":
             self.factor()
+        rtol = self.rel_tol if rtol is None else rtol
+        b = jnp.asarray(b, self.dtype)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        m, mp = self.m, self.mp
+        bp = jnp.zeros((mp, b.shape[1]), self.dtype).at[:m].set(b)
+        x = self._solve_padded(bp)
+        bn = jnp.linalg.norm(bp)
+        self.iterations = 0
+        for _ in range(maxit):
+            res = bp - jnp.zeros_like(bp).at[:m].set(
+                self.matvec(x[:m])).at[m:].set(x[m:])
+            if float(jnp.linalg.norm(res)) <= rtol * float(bn):
+                break
+            x = x + self._solve_padded(res)
+            self.iterations += 1
+        x = x[:m]
+        return x[:, 0] if squeeze else x
+
+    def rsolve(self, b):
+        """A^{-H} b (adjoint solve through the factor chain)."""
+        if self._factored != "direct":
+            self.factor()
+        b = jnp.asarray(b, self.dtype)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        m, mp = self.m, self.mp
+        bp = jnp.zeros((mp, b.shape[1]), self.dtype).at[:m].set(b)
+        x = self._rsolve_padded(bp)[:m]
+        return x[:, 0] if squeeze else x
+
+    # ------------------------------------------------------------------
+    def solve_iterative(self, b, rtol=None, maxit=200):
+        """Pre-round-4 scheme: GMRES on the HODBF matvec, HODLR-SMW
+        preconditioned (kept for comparison/fallback)."""
+        from ..krylov.solvers import gmres
+        from .hodlr import HODLRMatrix
+        if self._prec is None:
+            # densify through the exact HODBF matvec (capability path;
+            # the production sparse fronts use their own HODLR builds)
+            I = jnp.eye(self.m, dtype=self.dtype)
+            Ad = self.matvec(I)
+            self._prec = HODLRMatrix(Ad, leaf_size=self.t,
+                                     max_rank=self.r,
+                                     rel_tol=max(self.rel_tol, 1e-8))
+            self._prec.factor()
         rtol = self.rel_tol if rtol is None else rtol
         b = jnp.asarray(b, self.dtype)
         squeeze = b.ndim == 1

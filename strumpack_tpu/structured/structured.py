@@ -195,7 +195,10 @@ class _HODLRWrap(StructuredMatrix):
 
 class _HODBFWrap(StructuredMatrix):
     """HODLR with butterfly off-diagonal blocks (ButterflyPACK HODBF
-    role); solve = HODLR-preconditioned GMRES on the HODBF matvec."""
+    role); factor/solve = TRUE direct butterfly factorization
+    (bpack_factor / bpack_solve: multiplicative level sweep with
+    butterfly-compressed A^{-1}B blocks and recursively factored Schur
+    corrections) + short iterative refinement."""
 
     def __init__(self, A, opts):
         from .hodbf import HODBFMatrix
