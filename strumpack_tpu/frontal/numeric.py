@@ -574,7 +574,8 @@ def _dequantize(t, dtype):
     return t
 
 
-def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None):
+def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None,
+                      shard_level=None):
     """Batched HSS/HODLR/HODBF partial factorization of a bucket via vmap:
     each front compresses + factors F11 and forms the explicit Schur
     pieces; the per-front structured objects are pytrees, so vmap returns
@@ -602,7 +603,9 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None):
             H = HODLRMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
                             max_rank=bp.hss_rank, rel_tol=hss_tol,
                             constrain=(constrain if F.shape[0] == 1
-                                       else None))
+                                       else None),
+                            shard_level=(shard_level
+                                         if F.shape[0] == 1 else None))
         H.factor()
         F12 = F0[:sH, sH:]
         F21 = F0[sH:, :sH]

@@ -60,9 +60,66 @@ def _rand_lowrank_svd(A, q, key):
     return U, S, Vh
 
 
+def _compress_level(A12, A21, r, tol, lev, rsvd):
+    """Compress one HODLR level's sibling off-diagonal block batches
+    A12/A21 [half, ml, ml] to (P, Q) rank-r factors + the level's max
+    actual rank [1].  Pure and batched — the mesh 'struct' path runs it
+    under an explicit shard_map over the block-pair axis."""
+    dtype = A12.dtype
+    ml = A12.shape[-1]
+    if rsvd and ml >= RSVD_MIN and r + 8 < ml:
+        q = r + 8
+        # fold the sketch key by level AND a data-derived mix: the
+        # normal() draw below is batched over the block-pair axis (each
+        # pair gets distinct Gaussians), but under a vmapped front
+        # bucket every FRONT would otherwise share one sketch — a
+        # single adversarially aligned sketch would then degrade that
+        # level across all fronts at once
+        mix = jax.lax.bitcast_convert_type(
+            jnp.asarray(jnp.real(A12.reshape(-1)[0]),
+                        jnp.float32), jnp.int32)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(17), lev), mix)
+        k1, k2 = jax.random.split(key)
+        U12, S12, V12 = _rand_lowrank_svd(A12, q, k1)
+        U21, S21, V21 = _rand_lowrank_svd(A21, q, k2)
+    else:
+        U12, S12, V12 = jnp.linalg.svd(A12, full_matrices=False)
+        U21, S21, V21 = jnp.linalg.svd(A21, full_matrices=False)
+
+    def trunc(U, S, Vh):
+        # A ~= P @ Q with P [ml, r] = U*S, Q [r, ml] = Vh rows;
+        # pad when the block is smaller than the rank cap r
+        q = S.shape[-1]
+        if q < r:
+            U = jnp.concatenate(
+                [U, jnp.zeros(U.shape[:-1] + (r - q,), U.dtype)],
+                axis=-1)
+            S = jnp.concatenate(
+                [S, jnp.zeros(S.shape[:-1] + (r - q,), S.dtype)],
+                axis=-1)
+            Vh = jnp.concatenate(
+                [Vh, jnp.zeros(Vh.shape[:-2] + (r - q, Vh.shape[-1]),
+                               Vh.dtype)], axis=-2)
+        s0 = S[..., :1]
+        keep = (S > tol * jnp.maximum(
+            s0, jnp.finfo(dtype).tiny))[..., :r]
+        P = jnp.where(keep[..., None, :], U[..., :, :r], 0.0) \
+            * jnp.where(keep, S[..., :r], 0.0)[..., None, :]
+        Q = jnp.where(keep[..., :, None], Vh[..., :r, :], 0.0)
+        return P, Q, keep.sum(-1)
+
+    P12, Q12, k1 = trunc(U12, S12, V12)
+    P21, Q21, k2 = trunc(U21, S21, V21)
+    # [1]-shaped, not scalar: these leaves cross shard_map boundaries
+    # in the mesh path, whose out_specs need rank >= 1
+    rk = jnp.maximum(k1.max(), k2.max())[None]
+    return P12, Q12, P21, Q21, rk
+
+
 class HODLRMatrix:
     def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6,
-                 constrain=None):
+                 constrain=None, shard_level=None):
         """``constrain`` is an optional GSPMD sharding-constraint callback
         applied to every batched internal array (leaf blocks [nl, t, t],
         per-level off-diagonal factors [half, ml, r], SMW blocks): the
@@ -70,7 +127,14 @@ class HODLRMatrix:
         that shards the block axis over the device mesh, distributing a
         single large front's compression + factorization — the
         FrontHODLRMPI intra-front distribution role
-        (reference HODLR/HODLRMatrixMPI, FrontHODLRMPI.cpp)."""
+        (reference HODLR/HODLRMatrixMPI, FrontHODLRMPI.cpp).
+
+        ``shard_level(fn, A12, A21)`` optionally runs one level's
+        compression (``fn`` = partial(_compress_level, ...)) under an
+        EXPLICIT shard_map over the block-pair axis (returns None to
+        decline); the spmd layer uses it for levels whose pair count
+        divides the mesh — communication-free partitioning with no GSPMD
+        resharding guesswork."""
         A = jnp.asarray(A)
         self.m = A.shape[0]
         self.t = int(leaf_size)
@@ -79,6 +143,7 @@ class HODLRMatrix:
         self.rel_tol = rel_tol
         self.dtype = A.dtype
         self._constrain = constrain if constrain is not None else _ident
+        self._shard_level = shard_level
         self._compress(A)
         self._factored = False
 
@@ -106,53 +171,16 @@ class HODLRMatrix:
             i2 = i1 + 1
             A12 = Ar[i1, :, i2, :]    # [half, ml, ml]
             A21 = Ar[i2, :, i1, :]
-            if ml >= RSVD_MIN and r + 8 < ml:
-                q = r + 8
-                # fold the sketch key by level AND a data-derived mix:
-                # the normal() draw below is batched over the block-pair
-                # axis (each pair gets distinct Gaussians), but under a
-                # vmapped front bucket every FRONT would otherwise share
-                # one sketch — a single adversarially aligned sketch
-                # would then degrade that level across all fronts at once
-                mix = jax.lax.bitcast_convert_type(
-                    jnp.asarray(jnp.real(A12.reshape(-1)[0]),
-                                jnp.float32), jnp.int32)
-                key = jax.random.fold_in(
-                    jax.random.fold_in(jax.random.PRNGKey(17), lev), mix)
-                k1, k2 = jax.random.split(key)
-                U12, S12, V12 = _rand_lowrank_svd(A12, q, k1)
-                U21, S21, V21 = _rand_lowrank_svd(A21, q, k2)
-            else:
-                U12, S12, V12 = jnp.linalg.svd(A12, full_matrices=False)
-                U21, S21, V21 = jnp.linalg.svd(A21, full_matrices=False)
-
-            def trunc(U, S, Vh):
-                # A ~= P @ Q with P [ml, r] = U*S, Q [r, ml] = Vh rows;
-                # pad when the block is smaller than the rank cap r
-                q = S.shape[-1]
-                if q < r:
-                    U = jnp.concatenate(
-                        [U, jnp.zeros(U.shape[:-1] + (r - q,), U.dtype)],
-                        axis=-1)
-                    S = jnp.concatenate(
-                        [S, jnp.zeros(S.shape[:-1] + (r - q,), S.dtype)],
-                        axis=-1)
-                    Vh = jnp.concatenate(
-                        [Vh, jnp.zeros(Vh.shape[:-2] + (r - q, Vh.shape[-1]),
-                                       Vh.dtype)], axis=-2)
-                s0 = S[..., :1]
-                keep = (S > tol * jnp.maximum(
-                    s0, jnp.finfo(A.dtype).tiny))[..., :r]
-                P = jnp.where(keep[..., None, :], U[..., :, :r], 0.0) \
-                    * jnp.where(keep, S[..., :r], 0.0)[..., None, :]
-                Q = jnp.where(keep[..., :, None], Vh[..., :r, :], 0.0)
-                return P, Q, keep.sum(-1)
-
-            P12, Q12, k1 = trunc(U12, S12, V12)
-            P21, Q21, k2 = trunc(U21, S21, V21)
-            # [1]-shaped, not scalar: these leaves cross shard_map
-            # boundaries in the mesh path, whose out_specs need rank >= 1
-            self.rank_arrays.append(jnp.maximum(k1.max(), k2.max())[None])
+            from functools import partial as _partial
+            fn = _partial(_compress_level, r=r, tol=tol, lev=lev,
+                          rsvd=True)
+            out = None
+            if self._shard_level is not None:
+                out = self._shard_level(fn, A12, A21)
+            if out is None:
+                out = fn(A12, A21)
+            P12, Q12, P21, Q21, rk = out
+            self.rank_arrays.append(rk)
             c = self._constrain
             self.P12.append(c(P12))
             self.Q12.append(c(Q12))
@@ -302,7 +330,7 @@ def _hodlr_unflatten(aux, children):
 
 
 _HODLR_STATIC = ("m", "t", "mp", "L", "r", "rel_tol", "dtype",
-                 "_factored", "_constrain")
+                 "_factored", "_constrain", "_shard_level")
 
 jax.tree_util.register_pytree_node(HODLRMatrix, _hodlr_flatten,
                                    _hodlr_unflatten)
