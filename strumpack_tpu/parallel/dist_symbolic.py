@@ -267,6 +267,58 @@ def distributed_symbolic(pattern: ReducedPattern, tree: SeparatorTree,
     return DistUpd(nseps, sizes, upd)
 
 
+def numeric_need(tree: SeparatorTree, owner: np.ndarray, pid: int):
+    """Front ids whose upd CONTENT process ``pid`` needs for numeric
+    plan build: its owned fronts, the shared top, and the CHILDREN of
+    both (extend-add position maps index into the child's update set —
+    frontal/plan.py find_in_upd over lch/rch)."""
+    need = set()
+    for f in range(tree.nseps):
+        if owner[f] == pid or owner[f] == -1:
+            need.add(int(f))
+            for c in (int(tree.lch[f]), int(tree.rch[f])):
+                if c >= 0:
+                    need.add(c)
+    return need
+
+
+def redistribute_upd(dupd: DistUpd, need_all, pid, owner=None):
+    """RedistSubTree-style re-exchange of update-set CONTENT to its
+    numeric owners (the reference's ``RedistSubTree``,
+    ``sparse/Redistribute.hpp:136``: after symbolic, subtree data moves
+    from the ranks that computed it to the ranks that factor it).
+
+    ``need_all``: per-process collections of front ids (from
+    :func:`numeric_need` or a custom device mapping).  Each process
+    sends the content it holds to every process that needs it (socket
+    alltoallv); with ``owner`` given, only the unique symbolic owner
+    ships each front (shared-top content is already everywhere).
+    Returns a new :class:`DistUpd` whose content covers this process's
+    need set (sizes stay global)."""
+    import jax
+    P = jax.process_count()
+    content = {int(f): dupd._c[int(f)] for f in need_all[pid]
+               if int(f) in dupd._c}
+    if P > 1:
+        from . import p2p
+
+        def mine(f):
+            return owner is None or owner[int(f)] == pid
+        dest = {}
+        for q in range(P):
+            if q == pid:
+                continue
+            payload = {int(f): dupd._c[int(f)] for f in need_all[q]
+                       if int(f) in dupd._c and mine(f)}
+            if payload:
+                dest[q] = payload
+        got = p2p.alltoallv(dest)
+        for _, d in got.items():
+            for k, v in d.items():
+                content.setdefault(int(k), v)
+    return DistUpd(dupd.nseps, dupd.sizes, content)
+
+
 def _merge_front(pattern, tree, upd, f):
     sb, se = int(tree.sep_begin[f]), int(tree.sep_end[f])
     pieces = []

@@ -123,11 +123,12 @@ def _struct_repl_flops(bp, ndev) -> float:
     fl = 0.0
     for lev in range(L):
         half = 2 ** lev
-        # mirror _struct_constrain's con(): the batch axis only shards
-        # when divisible by the device count with >= 8 rows per device —
-        # a level with half >= ndev but failing those checks stays
-        # replicated and must be charged here (ADVICE r3)
-        if half % ndev == 0 and half >= 8 * ndev:
+        # mirror _struct_shard_level: any level whose pair count divides
+        # the device count runs under the explicit shard_map (each device
+        # compresses its own pairs, communication-free); other levels
+        # stay replicated unless the >=1M-element GSPMD constraint gate
+        # fires (not modeled — charged as replicated, conservative)
+        if half % ndev == 0:
             continue
         ml = mp // (2 * half)
         # QR [ml, q] x2 sweeps + SVD of [q, ml] per off-diag block pair,

@@ -124,4 +124,22 @@ print(f"proc {pid}: reduced pattern {pat.nbytes} / {glob_pat_bytes} "
       f"{tree.nseps} fronts", flush=True)
 assert frac_pat < 0.6, frac_pat
 
+# --- phase 2: RedistSubTree-style re-exchange (Redistribute.hpp:136,
+# VERDICT r3 item 4 / ROADMAP r4 next 1): content moves from symbolic
+# owners to the processes that numerically need it (owned + shared +
+# their children for the extend-add index maps); the re-exchanged
+# holding must cover the need set exactly and stay well under the
+# global content bytes.
+need_all = [DS.numeric_need(tree, owner, q) for q in range(nproc)]
+rupd = DS.redistribute_upd(dupd, need_all, pid, owner=owner)
+for f in need_all[pid]:
+    assert rupd.has(f), f
+    assert np.array_equal(rupd[f], upd_ref[f]), f
+glob_upd_bytes = sum(u.nbytes for u in upd_ref) or 1
+mine_bytes = sum(rupd[f].nbytes for f in need_all[pid])
+frac_upd = mine_bytes / glob_upd_bytes
+print(f"proc {pid}: re-exchanged upd content {mine_bytes} / "
+      f"{glob_upd_bytes} bytes ({100 * frac_upd:.0f}%)", flush=True)
+assert frac_upd < 0.75, frac_upd
+
 print(f"MHOK {pid}", flush=True)
