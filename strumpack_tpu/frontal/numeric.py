@@ -44,8 +44,15 @@ class BucketDev:
 
     def __init__(self, bp: BucketPlan):
         self.bp = bp
-        self.has_L = bool((bp.posL >= 0).any())
-        self.has_R = bool((bp.posR >= 0).any())
+        # prefer the STRUCTURAL flags (tree + global sizes) so a
+        # content-restricted distributed plan (parallel/dist_plan.py)
+        # traces the same program on every process; identical to the
+        # content-derived flags on full plans (a child with nonempty upd
+        # always lands pos >= 0 somewhere)
+        self.has_L = (bool(bp.hasL.any()) if bp.hasL is not None
+                      else bool((bp.posL >= 0).any()))
+        self.has_R = (bool(bp.hasR.any()) if bp.hasR is not None
+                      else bool((bp.posR >= 0).any()))
         # static per-bucket child-CB block sizes for the extend-add
         self.umaxL = int(bp.strideL.max(initial=0)) if self.has_L else 0
         self.umaxR = int(bp.strideR.max(initial=0)) if self.has_R else 0
@@ -234,7 +241,9 @@ class PlanDev:
                     bp = bd.bp
                     pos = getattr(bp, "pos" + side)
                     off = getattr(bp, "off" + side)
-                    has = (pos >= 0).any(axis=1)
+                    has = getattr(bp, "has" + side, None)
+                    if has is None:     # pre-hasL plans (structural flag
+                        has = (pos >= 0).any(axis=1)  # doc: BucketDev)
                     bk = np.searchsorted(bases, off, side="right") - 1
                     for j in range(len(child)):
                         sel = has & (bk == j)

@@ -136,6 +136,13 @@ class BucketPlan:
     # solve-phase global index maps (value n = zero padding slot)
     sep_glob: np.ndarray = None  # [nf, s_pad]
     upd_glob: np.ndarray = None  # [nf, u_pad]
+    # structural child-presence flags: hasL[k] == front k has a left
+    # child with a nonempty update set.  Computed from the TREE + global
+    # |upd| sizes (not from posL content) so a content-restricted
+    # distributed plan build (parallel/dist_plan.py) still produces
+    # globally consistent trace structure on every process.
+    hasL: np.ndarray = None      # [nf] bool
+    hasR: np.ndarray = None      # [nf] bool
     # compression (FrontFactory analog: per-bucket front type selection)
     blr: bool = False
     tile: int = 0                # BLR tile size t
@@ -201,6 +208,149 @@ class LevelPlan:
         return len(self.levels)
 
 
+def _assign_bucket_compression(bp: BucketPlan, compression) -> None:
+    """Per-bucket front-type selection (FrontFactory role,
+    FrontFactory.hpp:84-133): resolves the configured CompressionType +
+    size thresholds into the bucket's blr/hss/hodlr/hodbf/lossy flags.
+    Shared by build_plan and plan_structure so the distributed plan
+    build's structure pass agrees with the content pass."""
+    if compression is None:
+        return
+    sp, up = bp.s_pad, bp.u_pad
+    from ..options import CompressionType as CT
+    comp = compression.compression
+    min_sep = compression.compression_min_sep_size
+    # composite per-front-size schemes resolve to an effective
+    # type per bucket (FrontFactory.hpp:92-124 +
+    # StrumpackOptions.hpp:1023-1040 per-level thresholds)
+    eff = None
+    if comp in (CT.BLR_HODLR, CT.ZFP_BLR_HODLR):
+        hodlr_min = getattr(compression, "hodlr_min_sep_size", 512)
+        lossy_min = getattr(compression, "lossy_min_sep_size", 8)
+        if sp >= hodlr_min:
+            # with --hss_sampling the composite's top fronts
+            # are SAMPLING-built HSS instead of HODLR: no
+            # dense (s+u)^2 assembly ever exists for them
+            # (FrontHSS::random_sampling role, the 100^3 HBM
+            # ceiling fix; BASELINE config 3's "HSS ULV,
+            # randomized sampling")
+            eff = (CT.HSS if getattr(compression.hss, "sampling", False)
+                   else CT.HODLR)
+        elif sp >= min_sep:
+            eff = CT.BLR
+        elif comp == CT.ZFP_BLR_HODLR and sp >= lossy_min:
+            eff = CT.LOSSY
+    elif comp == CT.LOSSLESS:
+        # ZFP reversible role: factors stored exactly (see
+        # CompressionType.LOSSLESS doc in options.py)
+        eff = None
+    elif comp != CT.NONE and sp >= min_sep:
+        eff = comp
+    if eff == CT.BLR:
+        from .blr import choose_tile
+        bp.blr = True
+        bp.tile = choose_tile(sp, up, compression.blr.leaf_size)
+        bp.max_rank = max(4, min(compression.blr.max_rank,
+                                 bp.tile // 2))
+        if getattr(compression.blr, "admissibility",
+                   "weak") == "strong":
+            bp.adm_band = 1
+        bp.blr_variant = getattr(compression.blr,
+                                 "factor_algorithm", "rl")
+        bp.lr_algo = getattr(compression.blr,
+                             "low_rank_algorithm", "rrqr")
+        # memory-efficient variant: BLR-compressed CBs
+        # (FrontBLR F22blr_ role) for big update blocks
+        if (getattr(compression.blr, "cb_compression", False)
+                and up >= 128 and up % 64 == 0):
+            # 128-wide tiles when possible: [*, 64, 64] tile
+            # batches pay 2x lane padding under TPU (8, 128)
+            # tiling in transposed layouts (the round-4 100^3
+            # OOM's biggest temps were 50% padding)
+            bp.cb_comp = 128 if up % 128 == 0 else 64
+            bp.cb_rank = getattr(compression.blr, "cb_rank_cap", 0)
+    elif eff == CT.LOSSY:
+        bp.lossy = getattr(compression, "lossy_precision", 16)
+    elif eff in (CT.HSS, CT.HODLR, CT.HODBF):
+        # structured fronts can hand their parents
+        # BLR-compressed CBs too (F22blr_ role) — at 100^3
+        # the top HODLR fronts' dense CBs are GB-scale
+        if (getattr(compression.blr, "cb_compression", False)
+                and up >= 128 and up % 64 == 0):
+            bp.cb_comp = 128 if up % 128 == 0 else 64
+            bp.cb_rank = getattr(compression.blr, "cb_rank_cap", 0)
+        bf_levels = getattr(compression, "hodlr_butterfly_levels", 0)
+        if eff == CT.HSS:
+            if getattr(compression.hss, "sampling", False):
+                # sampling-constructed fronts (root AND
+                # interior): never assemble the dense front
+                bp.hss_sample = True
+            else:
+                bp.hss = True
+        elif eff == CT.HODBF or bf_levels > 0:
+            bp.hodbf = True
+        else:
+            bp.hodlr = True
+        bp.hss_leaf = min(compression.hss.leaf_size, max(sp // 4, 16))
+        bp.hss_rank = min(compression.hss.max_rank, bp.hss_leaf)
+        if bp.hodbf and up > 0:
+            # even butterfly depth usable by the rectangular
+            # [s_pad, u_pad] off-diagonal blocks (bf_depth2)
+            D = 0
+            while (sp % (2 ** (D + 2)) == 0
+                   and up % (2 ** (D + 2)) == 0
+                   and min(sp, up) // (2 ** (D + 2)) >= 16):
+                D += 2
+            bp.bf_D = D
+            bp.bf_r = bp.hss_rank
+
+
+def plan_structure(tree: SeparatorTree, du_all, compression=None):
+    """Structure-only bucket skeleton: the same level/bucket grouping,
+    padded shapes, front membership and front-type flags as build_plan,
+    computed from the tree + GLOBAL |upd| sizes alone (no pattern, no
+    upd content).  Every process of a distributed run can evaluate this
+    identically from DistUpd.sizes — it drives execution-mode selection
+    (parallel/spmd.choose_modes) and the front->device mapping BEFORE
+    any content is exchanged (parallel/dist_plan.py).
+
+    Returns levels: list[list[BucketPlan]] (content arrays None)."""
+    nseps = tree.nseps
+    depths = tree.depths()
+    maxd = int(depths.max()) if nseps else 0
+    ds_all = (tree.sep_end - tree.sep_begin).astype(np.int64)
+    du_all = np.asarray(du_all, np.int64)
+    s_pad_all = np.array([pad_size(int(d)) for d in ds_all], np.int64)
+    u_pad_all = np.array([pad_size(int(d)) for d in du_all], np.int64)
+    levels = []
+    for k in range(maxd + 1):
+        depth = maxd - k
+        fids = np.nonzero(depths == depth)[0]
+        level_buckets = []
+        keys = s_pad_all[fids] * (10**9) + u_pad_all[fids]
+        for key in np.unique(keys):
+            sel = fids[keys == key]
+            nfr = len(sel)
+            nf = batch_pad(nfr)
+            ds_b = np.zeros(nf, dtype=np.int32)
+            du_b = np.zeros(nf, dtype=np.int32)
+            ds_b[:nfr] = ds_all[sel]
+            du_b[:nfr] = du_all[sel]
+            bp = BucketPlan(level=k, s_pad=int(s_pad_all[sel[0]]),
+                            u_pad=int(u_pad_all[sel[0]]),
+                            fronts=sel, ds=ds_b, du=du_b)
+            bp.chunks = choose_chunks(nf, bp.p)
+            _assign_bucket_compression(bp, compression)
+            for side, cha in (("L", tree.lch), ("R", tree.rch)):
+                chb = np.full(nf, -1, dtype=np.int64)
+                chb[:nfr] = cha[sel]
+                setattr(bp, "has" + side,
+                        (chb >= 0) & (du_all[np.maximum(chb, 0)] > 0))
+            level_buckets.append(bp)
+        levels.append(level_buckets)
+    return levels
+
+
 def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                upd: list[np.ndarray], compression=None) -> LevelPlan:
     """compression: None or an SPOptions-like object with fields
@@ -213,21 +363,44 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
     maxd = int(depths.max()) if nseps else 0
 
     ds_all = (tree.sep_end - tree.sep_begin).astype(np.int64)
-    du_all = np.array([len(u) for u in upd], dtype=np.int64)
+    # ``upd`` is either a plain list of per-front index arrays (single-
+    # process) or a DistUpd-like object (parallel/dist_symbolic.py):
+    # GLOBAL |upd| sizes, but index CONTENT held only for the fronts
+    # this process numerically needs.  Content-restricted fronts get
+    # empty pos rows / padded upd_glob rows — the distributed staging
+    # (parallel/spmd.ShardedPlan) never ships those rows anyway, and all
+    # trace-level structure (shapes, hasL/hasR, bucket membership) comes
+    # from sizes, so every process compiles the same program.
+    is_dist = hasattr(upd, "sizes") and hasattr(upd, "has")
+    if is_dist:
+        du_all = np.asarray(upd.sizes, np.int64)
+        avail = np.array([f for f in range(nseps) if upd.has(f)],
+                         dtype=np.int64)
+    else:
+        du_all = np.array([len(u) for u in upd], dtype=np.int64)
+        avail = np.arange(nseps, dtype=np.int64)
+
+    def has_content(f):
+        return (not is_dist) or upd.has(int(f))
 
     # ---- global helper arrays ------------------------------------------
     # owner front of each matrix index
     front_of = np.empty(n, dtype=np.int64)
     for i in range(nseps):
         front_of[tree.sep_begin[i]:tree.sep_end[i]] = i
-    # concatenated upd arrays with keyed search support
-    upd_off = np.zeros(nseps + 1, dtype=np.int64)
-    np.cumsum(du_all, out=upd_off[1:])
-    upd_cat = (np.concatenate([u for u in upd]) if upd_off[-1] > 0
-               else np.empty(0, dtype=np.int64))
+    # concatenated CONTENT-AVAILABLE upd arrays with keyed search support
+    avail_lens = du_all[avail]
+    cat_off = np.zeros(len(avail) + 1, dtype=np.int64)
+    np.cumsum(avail_lens, out=cat_off[1:])
+    upd_cat = (np.concatenate([np.asarray(upd[int(f)]) for f in avail])
+               if cat_off[-1] > 0 else np.empty(0, dtype=np.int64))
     # key = front * (n+1) + index, globally sorted (postorder front-major)
-    upd_keys = (np.repeat(np.arange(nseps), du_all) * (n + 1) + upd_cat
-                if upd_off[-1] > 0 else np.empty(0, dtype=np.int64))
+    upd_keys = (np.repeat(avail, avail_lens) * (n + 1) + upd_cat
+                if cat_off[-1] > 0 else np.empty(0, dtype=np.int64))
+    # front -> offset of its segment in upd_cat (missing fronts can
+    # never hit a key, so their offset is irrelevant)
+    upd_off = np.zeros(nseps, dtype=np.int64)
+    upd_off[avail] = cat_off[:-1]
 
     def find_in_upd(front_ids, glob):
         """Vectorized: position of glob[k] in upd[front_ids[k]], or -1."""
@@ -278,103 +451,13 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
                             fronts=sel, ds=ds_b, du=du_b)
             sp, up, p = bp.s_pad, bp.u_pad, bp.p
             bp.chunks = choose_chunks(nf, p)
-            if compression is not None:
-                from ..options import CompressionType as CT
-                comp = compression.compression
-                min_sep = compression.compression_min_sep_size
-                # composite per-front-size schemes resolve to an effective
-                # type per bucket (FrontFactory.hpp:92-124 +
-                # StrumpackOptions.hpp:1023-1040 per-level thresholds)
-                eff = None
-                if comp in (CT.BLR_HODLR, CT.ZFP_BLR_HODLR):
-                    hodlr_min = getattr(compression,
-                                        "hodlr_min_sep_size", 512)
-                    lossy_min = getattr(compression,
-                                        "lossy_min_sep_size", 8)
-                    if sp >= hodlr_min:
-                        # with --hss_sampling the composite's top fronts
-                        # are SAMPLING-built HSS instead of HODLR: no
-                        # dense (s+u)^2 assembly ever exists for them
-                        # (FrontHSS::random_sampling role, the 100^3 HBM
-                        # ceiling fix; BASELINE config 3's "HSS ULV,
-                        # randomized sampling")
-                        eff = (CT.HSS if getattr(compression.hss,
-                                                 "sampling", False)
-                               else CT.HODLR)
-                    elif sp >= min_sep:
-                        eff = CT.BLR
-                    elif comp == CT.ZFP_BLR_HODLR and sp >= lossy_min:
-                        eff = CT.LOSSY
-                elif comp == CT.LOSSLESS:
-                    # ZFP reversible role: factors stored exactly (see
-                    # CompressionType.LOSSLESS doc in options.py)
-                    eff = None
-                elif comp != CT.NONE and sp >= min_sep:
-                    eff = comp
-                if eff == CT.BLR:
-                    from .blr import choose_tile
-                    bp.blr = True
-                    bp.tile = choose_tile(sp, up, compression.blr.leaf_size)
-                    bp.max_rank = max(4, min(compression.blr.max_rank,
-                                             bp.tile // 2))
-                    if getattr(compression.blr, "admissibility",
-                               "weak") == "strong":
-                        bp.adm_band = 1
-                    bp.blr_variant = getattr(compression.blr,
-                                             "factor_algorithm", "rl")
-                    bp.lr_algo = getattr(compression.blr,
-                                         "low_rank_algorithm", "rrqr")
-                    # memory-efficient variant: BLR-compressed CBs
-                    # (FrontBLR F22blr_ role) for big update blocks
-                    if (getattr(compression.blr, "cb_compression", False)
-                            and up >= 128 and up % 64 == 0):
-                        # 128-wide tiles when possible: [*, 64, 64] tile
-                        # batches pay 2x lane padding under TPU (8, 128)
-                        # tiling in transposed layouts (the round-4 100^3
-                        # OOM's biggest temps were 50% padding)
-                        bp.cb_comp = 128 if up % 128 == 0 else 64
-                        bp.cb_rank = getattr(compression.blr,
-                                             "cb_rank_cap", 0)
-                elif eff == CT.LOSSY:
-                    bp.lossy = getattr(compression, "lossy_precision", 16)
-                elif eff in (CT.HSS, CT.HODLR, CT.HODBF):
-                    # structured fronts can hand their parents
-                    # BLR-compressed CBs too (F22blr_ role) — at 100^3
-                    # the top HODLR fronts' dense CBs are GB-scale
-                    if (getattr(compression.blr, "cb_compression", False)
-                            and up >= 128 and up % 64 == 0):
-                        # 128-wide tiles when possible: [*, 64, 64] tile
-                        # batches pay 2x lane padding under TPU (8, 128)
-                        # tiling in transposed layouts (the round-4 100^3
-                        # OOM's biggest temps were 50% padding)
-                        bp.cb_comp = 128 if up % 128 == 0 else 64
-                        bp.cb_rank = getattr(compression.blr,
-                                             "cb_rank_cap", 0)
-                    bf_levels = getattr(compression,
-                                        "hodlr_butterfly_levels", 0)
-                    if eff == CT.HSS:
-                        if getattr(compression.hss, "sampling", False):
-                            # sampling-constructed fronts (root AND
-                            # interior): never assemble the dense front
-                            bp.hss_sample = True
-                        else:
-                            bp.hss = True
-                    elif eff == CT.HODBF or bf_levels > 0:
-                        bp.hodbf = True
-                    else:
-                        bp.hodlr = True
-                    bp.hss_leaf = min(compression.hss.leaf_size, max(sp // 4, 16))
-                    bp.hss_rank = min(compression.hss.max_rank, bp.hss_leaf)
-                    if bp.hodbf and up > 0:
-                        # even butterfly depth usable by the rectangular
-                        # [s_pad, u_pad] off-diagonal blocks (bf_depth2)
-                        D = 0
-                        while (sp % (2 ** (D + 2)) == 0
-                               and up % (2 ** (D + 2)) == 0
-                               and min(sp, up) // (2 ** (D + 2)) >= 16):
-                            D += 2
-                        bp.bf_D = D
-                        bp.bf_r = bp.hss_rank
+            _assign_bucket_compression(bp, compression)
+            # structural child-presence flags (see BucketPlan.hasL doc)
+            for side, cha in (("L", tree.lch), ("R", tree.rch)):
+                chb = np.full(nf, -1, dtype=np.int64)
+                chb[:nfr] = cha[sel]
+                setattr(bp, "has" + side,
+                        (chb >= 0) & (du_all[np.maximum(chb, 0)] > 0))
             batch_of[sel] = np.arange(nfr)
             for f in sel:
                 bucket_of[int(f)] = bp
@@ -392,7 +475,8 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
             bp.sep_glob = bp.sep_glob.astype(np.int32)
             ug = np.full((nf, up), n, dtype=np.int32)
             for bi, f in enumerate(sel):
-                ug[bi, :du_all[f]] = upd[f]
+                if has_content(f):
+                    ug[bi, :du_all[f]] = upd[int(f)]
             bp.upd_glob = ug
 
             # ---- extend-add pos arrays
@@ -423,6 +507,12 @@ def build_plan(Ap: CSRMatrix, tree: SeparatorTree,
         ec = cols_all[in_level]
         eo = owner[in_level]
         ev = np.nonzero(in_level)[0]
+        # distributed plan build: the reduced pattern carries an explicit
+        # entry -> value-pool slot map (parallel/dist_plan.py pools);
+        # Ap.nnz is then the pool length, so the nnz/nnz+1 padding slots
+        # keep pointing at the appended 0.0/1.0 values
+        if getattr(Ap, "vidx", None) is not None:
+            ev = np.asarray(Ap.vidx, np.int64)[ev]
         sb_e = tree.sep_begin[eo]
         se_e = tree.sep_end[eo]
         r_in_sep = (er >= sb_e) & (er < se_e)

@@ -50,12 +50,30 @@ class DistributedSparseSolver(SparseSolver):
 
     mesh axes: 'b' (front-batch, required); optional 'r', 'c' for the
     2D-sharded root-front LU.
+
+    ``fully_distributed=True`` activates the reference's
+    ``SparseSolverMPIDist`` memory model (StrumpackSparseSolverMPIDist
+    .hpp:185 + EliminationTreeMPIDist.cpp:45-98 +
+    PropMapSparseMatrix.hpp:73-76): NO process ever assembles the
+    global CSR, pattern, upd content, or plan — the symbolic phase runs
+    distributed (parallel/dist_symbolic.py), update-set and entry
+    content redistribute to their numeric owners, and the numeric step
+    consumes per-device value pools (parallel/dist_plan.py).  Requires
+    the GEOMETRIC (pattern-free) ordering and no matching/equilibration
+    — general ND / MC64 need a gathered graph, exactly like the
+    reference gathers to root for MC64 (CSRMatrixMPI::matching).
+    DIRECT and REFINE Krylov modes are supported.
     """
 
-    def __init__(self, mesh, opts: SPOptions | None = None, verbose=None):
+    def __init__(self, mesh, opts: SPOptions | None = None, verbose=None,
+                 fully_distributed=False):
         super().__init__(opts, verbose)
         self.mesh = mesh
         self._step = None
+        self.fully_distributed = fully_distributed
+        self._block = None          # (begin_row, rowptr, colind, vals)
+        self._dctx = None
+        self._dn = None
 
     # -- distributed input (CSRMatrixMPI role) --------------------------
     def set_distributed_csr_matrix(self, local_rowptr, local_colind,
@@ -64,11 +82,18 @@ class DistributedSparseSolver(SparseSolver):
         ``SparseSolverMPIDist::set_distributed_csr_matrix``
         (StrumpackSparseSolverMPIDist.hpp:185): each process passes its
         contiguous block of rows (local_rowptr is the local [nrows+1]
-        pointer, column indices GLOBAL).  The blocks are allgathered and
-        assembled into the global CSR for the host symbolic phase (the
-        host plans globally; the numeric phases shard over the mesh)."""
+        pointer, column indices GLOBAL).  Default mode allgathers the
+        blocks into the global CSR for the host symbolic phase; in
+        ``fully_distributed`` mode the block is KEPT local and the
+        distributed symbolic/plan pipeline runs instead."""
         import jax
         local_rowptr = np.asarray(local_rowptr, np.int64)
+        if self.fully_distributed:
+            self._block = (int(begin_row), local_rowptr,
+                           np.asarray(local_colind, np.int64),
+                           np.asarray(local_vals))
+            self._dn = int(n)
+            return
         counts = np.diff(local_rowptr)
         rows = [(int(begin_row), counts,
                  np.asarray(local_colind, np.int64),
@@ -113,11 +138,62 @@ class DistributedSparseSolver(SparseSolver):
             np.asarray(rp, np.int64), np.concatenate(ci),
             np.concatenate(vv), begin_row, n)
 
+    # -- fully-distributed pipeline (EliminationTreeMPIDist role) -------
+    def reorder(self, nx=None, ny=None, nz=None) -> ReturnCode:
+        if not self.fully_distributed:
+            return super().reorder(nx, ny, nz)
+        import time as _time
+        from ..options import MatchingJob, ReorderingStrategy
+        t0 = _time.perf_counter()
+        opts = self.opts
+        if self._block is None:
+            return ReturnCode.MATRIX_NOT_SET
+        if nx is not None:
+            opts.nx, opts.ny, opts.nz = nx, ny or 1, nz or 1
+            opts.reordering_method = ReorderingStrategy.GEOMETRIC
+        if opts.reordering_method != ReorderingStrategy.GEOMETRIC:
+            raise NotImplementedError(
+                "fully-distributed mode requires the GEOMETRIC "
+                "(pattern-free) ordering; general ND needs the global "
+                "graph (reference: ordering/ParMetisReordering.hpp)")
+        if opts.matching != MatchingJob.NONE:
+            raise NotImplementedError(
+                "matching needs a gathered matrix (the reference "
+                "gathers to root too, CSRMatrixMPI::matching); disable "
+                "it in fully-distributed mode")
+        from ..sparse.ordering.geometric import geometric_nd
+        perm, iperm, tree = geometric_nd(
+            opts.nx, opts.ny, opts.nz, components=opts.components,
+            width=opts.separator_width, leaf=opts.nd_leaf)
+        self.perm, self.iperm, self.tree = perm, iperm, tree
+        self.mq = self.mdr = self.mdc = None
+        self.dr = self.dc = None
+        from .dist_plan import DistPlanContext
+        ctx = DistPlanContext(self.mesh, tree, perm, iperm, opts)
+        ctx.build(*self._block)
+        self._dctx = ctx
+        self.plan, self.pdev = ctx.plan, ctx.pdev
+        self._reordered = True
+        self.times["reorder"] = _time.perf_counter() - t0
+        return ReturnCode.SUCCESS
+
+    def _dist_norm1(self):
+        """1-norm (max column abs sum) without assembling the matrix:
+        local partial column sums + one allreduce."""
+        import jax
+        begin, lrp, lci, lv = self._block
+        colabs = np.zeros(self._dn)
+        np.add.at(colabs, lci, np.abs(np.asarray(lv)))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils as mh
+            colabs = np.asarray(mh.process_allgather(colabs)).sum(axis=0)
+        return float(colabs.max())
+
     def factor(self) -> ReturnCode:
         # numeric factorization happens fused with the solve step under the
         # mesh (the sharded program factors + solves in one dispatch); here
         # we only ensure the plan exists
-        if self.A is None:
+        if self.A is None and self._block is None:
             return ReturnCode.MATRIX_NOT_SET
         if not self._reordered:
             rc = self.reorder()
@@ -125,14 +201,43 @@ class DistributedSparseSolver(SparseSolver):
                 return rc
         return ReturnCode.SUCCESS
 
+    def _solve_fully_distributed(self, b):
+        import jax
+        import jax.numpy as jnp
+        from .dist import from_global, make_sharded_factor_solve, to_global
+        opts = self.opts
+        fd = jnp.dtype(opts.factor_dtype)
+        if self._step is None:
+            eps = np.finfo(np.dtype(opts.factor_dtype)).eps
+            thresh = (np.sqrt(eps) * self._dist_norm1()
+                      if opts.replace_tiny_pivots else 0.0)
+            self._step = make_sharded_factor_solve(
+                self.pdev, self.mesh, dtype=fd, thresh=thresh,
+                matmul_precision=opts.matmul_precision, dist_vals=True)
+            self._vdev, self._vcom = self._dctx.stage_vals(fd)
+        bp = self._transform_b(b)
+        with self.mesh:
+            xp = from_global(self._step(
+                self._vdev, to_global(np.asarray(bp, dtype=fd), self.mesh),
+                vcom=self._vcom), self.mesh)
+        self.its = 1
+        return self._transform_x(xp), ReturnCode.SUCCESS
+
     def solve(self, b, x0=None):
         import jax
         import jax.numpy as jnp
-        if self.A is None:
+        if self.A is None and self._block is None:
             return None, ReturnCode.MATRIX_NOT_SET
         rc = self.factor()
         if rc != ReturnCode.SUCCESS:
             return None, rc
+        if self.fully_distributed:
+            from ..options import KrylovSolver as KS
+            if self.opts.krylov_solver not in (KS.DIRECT, KS.AUTO):
+                raise NotImplementedError(
+                    "fully-distributed mode: DIRECT solves only (outer "
+                    "Krylov needs the assembled spmv operator)")
+            return self._solve_fully_distributed(b)
         opts = self.opts
         fd = jnp.dtype(opts.factor_dtype)
         bp = self._transform_b(b)

@@ -269,18 +269,21 @@ class _BD:
                  "umaxL", "umaxR")
 
 
-def _shard_asm(arrs, nf, nb, zslot, rows):
+def _shard_asm(arrs, nf, nb, zslot, rows, K_force=None):
     """Partition the flat assembly index arrays by owning device and pad
     each device's chunk to a common length with no-op entries (value index
     -> the 0.0 slot of vals_ext, target F[0, 0, 0]).  Only the rows in
     ``rows`` (this process's devices) are materialized; the pad width K
-    is computed GLOBALLY so every process's blob layout agrees."""
+    is computed GLOBALLY so every process's blob layout agrees —
+    ``K_force`` passes the allgathered max when the plan itself is
+    content-restricted (dist_plan: each process only has its own
+    devices' assembly entries, so its local max underestimates)."""
     nfl = nf // nb
     bidx, r, c, v = (np.asarray(arrs["asm_bidx"]), np.asarray(arrs["asm_r"]),
                      np.asarray(arrs["asm_c"]), np.asarray(arrs["asm_vidx"]))
     dev = bidx // nfl
     counts = np.bincount(dev, minlength=nb)
-    K = max(int(counts.max(initial=0)), 1)
+    K = K_force or max(int(counts.max(initial=0)), 1)
     nl = len(rows)
     ob = np.zeros((nl, K), bidx.dtype)
     orr = np.zeros((nl, K), r.dtype)
@@ -370,6 +373,28 @@ class ShardedPlan:
         self.local_rows = [i for i, d in enumerate(devs_flat)
                            if getattr(d, "process_index", 0) == pi]
         zslot = pdev.plan.nnz
+        # content-restricted distributed plans (dist_plan): the shard
+        # buckets' assembly pad width must be agreed globally — each
+        # process only holds its own devices' entries, so its local max
+        # underestimates the true K.  ONE allgather of all bucket Ks.
+        forced_K = {}
+        if (hasattr(pdev.plan.upd, "has") and jax.process_count() > 1):
+            keys, Ks = [], []
+            for li, lvl in enumerate(pdev.levels):
+                for bi, bd in enumerate(lvl):
+                    if self.modes[(li, bi)] != "shard":
+                        continue
+                    bp = bd.bp
+                    nfl = max(bp.nf // nb, 1)
+                    bidx = np.asarray(bd.host_arrays["asm_bidx"])
+                    counts = np.bincount(bidx // nfl, minlength=nb)
+                    keys.append((li, bi))
+                    Ks.append(max(int(counts.max(initial=0)), 1))
+            if keys:
+                from jax.experimental import multihost_utils as mh
+                allK = np.asarray(mh.process_allgather(
+                    np.asarray(Ks, np.int64))).reshape(-1, len(Ks))
+                forced_K = dict(zip(keys, allK.max(axis=0).tolist()))
         self.levels = []           # local _BD clones (body trace view)
         self.big = {}              # (li, bi) -> replicated global arrays
         host = {}
@@ -392,7 +417,8 @@ class ShardedPlan:
                 rows = self.local_rows
                 if mode == "shard":
                     nfl = nf // nb
-                    st = _shard_asm(arrs, nf, nb, zslot, rows)
+                    st = _shard_asm(arrs, nf, nb, zslot, rows,
+                                    K_force=forced_K.get((li, bi)))
                     for k, v in arrs.items():
                         if k.startswith("asm_") or k.startswith("ck_"):
                             # chunked execution is a single-chip memory
@@ -692,7 +718,19 @@ def _seg_factor_body(sp, lis, hss_tol, blobs, vals_ext, th, tol, cb_in):
     """One body/mixed segment of the factorization inside shard_map:
     ``cb_in`` entries are per-device views of the previous level's CBs
     (full copies for shard/big producers, the device's own copy for
-    repl); returns (factor fragment, last level's LOCAL CB parts)."""
+    repl); returns (factor fragment, last level's LOCAL CB parts).
+
+    ``vals_ext`` is either the replicated [nnz+2] extended values array
+    (single-pool mode) or a (vals_dev [1, Kv], vals_common [Kc]) pair in
+    DISTRIBUTED-values mode (dist_plan): the device's own value-pool row
+    concatenated with the replicated big-front pool — the PropMap-
+    SparseMatrix role (each rank holds only the rows its fronts need,
+    sparse/PropMapSparseMatrix.hpp:73-76)."""
+    if isinstance(vals_ext, tuple):
+        vdev, vcom = vals_ext
+        vals_ext = jnp.concatenate(
+            [vdev.reshape(-1), vcom,
+             jnp.array([0.0, 1.0], dtype=vdev.dtype)])
     a = sp.acc(blobs)
     out = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
            "blr_ranks": {}, "hss": {}}
@@ -767,12 +805,18 @@ def _seg_bwd_body(sp, lis, blobs, tree, ys, xext):
 def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
                               thresh: float = 0.0, hss_tol=1e-4,
                               blr_tol=1e-4,
-                              matmul_precision="float32"):
+                              matmul_precision="float32",
+                              dist_vals=False):
     """Build a (Avals, b) -> x full factor+solve step over ``mesh``.
     b may be [n] or [n, nrhs].  Small plans compile into ONE program;
     plans above ``numeric.SPLIT_SOLVE_BUCKETS`` buckets run in
     split-program mode with one dispatch per segment group (the mesh
-    analog of the single-chip split mode, FrontGPU split_smaller role)."""
+    analog of the single-chip split mode, FrontGPU split_smaller role).
+
+    ``dist_vals=True`` (dist_plan): the step takes
+    (vals_dev [nb, Kv] device-sharded, vals_common [Kc] replicated, b)
+    instead of the replicated global values — no process ever
+    materializes the full matrix (PropMapSparseMatrix role)."""
     sp = ShardedPlan(pdev, mesh)
     plan = pdev.plan
     n = plan.n
@@ -794,6 +838,21 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         return tuple(sp.cb_in_spec(lis_prev_level, bi)
                      for bi in range(len(pdev.levels[lis_prev_level])))
 
+    def _vals_for_big(vals_ext):
+        """Big fronts assemble OUTSIDE shard_map from mesh-global
+        replicated arrays; in distributed-values mode their entries live
+        in the common pool (indices >= Kv), so a zeros[Kv] prefix stands
+        in for the per-device pools that are never gathered."""
+        if isinstance(vals_ext, tuple):
+            vdev, vcom = vals_ext
+            return jnp.concatenate(
+                [jnp.zeros((vdev.shape[-1],), vdev.dtype), vcom,
+                 jnp.array([0.0, 1.0], dtype=vdev.dtype)])
+        return vals_ext
+
+    def vals_specs(vals_ext):
+        return ((P(axes), P()) if isinstance(vals_ext, tuple) else P())
+
     def run_factor_segment(kind, lis, blobs, bigs, vals_ext, cb_carry):
         """Trace one segment: shard_map region for the resident buckets,
         GSPMD grid/tile factorization outside for the big fronts.
@@ -802,7 +861,7 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         specs_in = cb_specs(li0 - 1)
         frag, cb_parts = smap(
             partial(_seg_factor_body, sp, lis, hss_tol),
-            in_specs=(P(axes), P(), P(), P(), specs_in),
+            in_specs=(P(axes), vals_specs(vals_ext), P(), P(), specs_in),
             out_specs=P(axes))(blobs, vals_ext, th, tol,
                                tuple(cb_carry))
         cb_out = list(cb_parts)
@@ -810,7 +869,8 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
             li = lis[0]
             for bi in range(len(pdev.levels[li])):
                 if sp.modes[(li, bi)] in ("grid", "tile", "struct", "samp"):
-                    cb = _big_factor(sp, li, bi, bigs, vals_ext,
+                    cb = _big_factor(sp, li, bi, bigs,
+                                     _vals_for_big(vals_ext),
                                      cb_carry, th, tol, frag, hss_tol)
                     # a big CB re-enters the next shard_map region with
                     # in_spec P(): force it REPLICATED here — GSPMD may
@@ -861,15 +921,19 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
         # out P(axes) stacks them — keep device 0's
         return xs[:xext.shape[0]]
 
-    def step(blobs, bigs, Avals, b):
-        Avals = Avals.astype(dtype)
+    def _mk_vals(Avals, vcom=None):
+        if dist_vals:
+            return (Avals.astype(dtype), vcom.astype(dtype))
+        return jnp.concatenate(
+            [Avals.astype(dtype), jnp.array([0.0, 1.0], dtype=dtype)])
+
+    def step(blobs, bigs, Avals, vcom, b):
         squeeze = b.ndim == 1
         b2 = b.astype(dtype)
         if squeeze:
             b2 = b2[:, None]
         nrhs = b2.shape[1]
-        vals_ext = jnp.concatenate(
-            [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
+        vals_ext = _mk_vals(Avals, vcom)
 
         tree = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
                 "blr_ranks": {}, "hss": {}}
@@ -924,18 +988,21 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
     # program even with grid/tile fronts — the composition XLA is known
     # to miscompile (see the comment above).
     force_fused = _os.environ.get("STRUMPACK_SPMD_FORCE_FUSED")
+    vdev_sh = NamedSharding(mesh, P(axes, None))
     if (nbuckets <= numeric.SPLIT_SOLVE_BUCKETS
             and (not sp.big or force_fused) and not force_split):
-        jf = jax.jit(step, in_shardings=(None, None, repl, repl),
-                     out_shardings=repl)
+        jf = jax.jit(step, in_shardings=(
+            None, None, vdev_sh if dist_vals else repl, repl, repl),
+            out_shardings=repl)
 
-        def run(Avals, b):
+        def run(Avals, b, vcom=None):
             # full-f32 matmuls: the TPU bf16 default degrades the direct
             # residual ~1000x for no speed benefit on this workload
             # (PERF.md) — the single-chip driver sets the same mode
             with jax.default_matmul_precision(matmul_precision):
                 return jf(sp.blobs, sp.big, jnp.asarray(Avals),
-                          jnp.asarray(b))
+                          jnp.zeros((0,), dtype) if vcom is None
+                          else jnp.asarray(vcom), jnp.asarray(b))
 
         run.sharded_plan = sp
         run.fused = True
@@ -949,17 +1016,16 @@ def make_sharded_factor_solve(pdev, mesh: Mesh, dtype=jnp.float32,
             cache[name] = jax.jit(fn)
         return cache[name]
 
-    def run(Avals, b):
+    def run(Avals, b, vcom=None):
       with jax.default_matmul_precision(matmul_precision):
-        Avals = jnp.asarray(Avals, dtype=dtype)
         b = jnp.asarray(b)
         squeeze = b.ndim == 1
         b2 = b.astype(dtype)
         if squeeze:
             b2 = b2[:, None]
         nrhs = b2.shape[1]
-        vals_ext = jnp.concatenate(
-            [Avals, jnp.array([0.0, 1.0], dtype=dtype)])
+        vals_ext = _mk_vals(jnp.asarray(Avals),
+                            None if vcom is None else jnp.asarray(vcom))
         tree = {"lu": {}, "perm": {}, "L21": {}, "U12": {}, "blr": {},
                 "blr_ranks": {}, "hss": {}}
         cb_carry = ()

@@ -54,10 +54,11 @@ def factor_nonzeros(tree: SeparatorTree, upd: list[np.ndarray]) -> int:
     """Exact LU factor nonzeros (dense fronts): per front the (ds+du)^2 - du^2
     entries that are stored (F11, F12, F21). Role of the reference's
     'factor nonzeros' statistic (SparseSolverBase.cpp:596)."""
+    sizes = getattr(upd, "sizes", None)
     tot = 0
     for i in range(tree.nseps):
         ds = tree.sep_size(i)
-        du = len(upd[i])
+        du = int(sizes[i]) if sizes is not None else len(upd[i])
         tot += ds * ds + 2 * ds * du
     return tot
 
@@ -65,9 +66,10 @@ def factor_nonzeros(tree: SeparatorTree, upd: list[np.ndarray]) -> int:
 def factor_flops(tree: SeparatorTree, upd: list[np.ndarray]) -> int:
     """Exact dense-multifrontal factorization flop count: per front
     LU(ds) + 2 trsm(ds,du) + gemm Schur update (du,du,ds)."""
+    sizes = getattr(upd, "sizes", None)
     tot = 0.0
     for i in range(tree.nseps):
         ds = tree.sep_size(i)
-        du = len(upd[i])
+        du = int(sizes[i]) if sizes is not None else len(upd[i])
         tot += (2.0 / 3.0) * ds**3 + 2.0 * ds * ds * du + 2.0 * du * du * ds
     return int(tot)

@@ -1,0 +1,103 @@
+"""Worker for the FULLY-distributed driver test (spawned by test_dist).
+
+Two jax.distributed processes x 4 virtual CPU devices form one global
+8-device mesh; each process feeds ONLY its block rows and the driver
+runs the reference's SparseSolverMPIDist memory model end to end
+(StrumpackSparseSolverMPIDist.hpp:185, EliminationTreeMPIDist.cpp:45-98,
+PropMapSparseMatrix.hpp:73-76): no process ever materializes the global
+CSR, the permuted pattern, global upd content, or the full plan.  The
+global matrix is built here ONLY to verify the answer.
+"""
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from strumpack_tpu import KrylovSolver, SPOptions  # noqa: E402
+from strumpack_tpu.parallel.driver import DistributedSparseSolver  # noqa: E402
+from strumpack_tpu.sparse.gen import poisson2d  # noqa: E402
+from strumpack_tpu.utils.params import ReturnCode  # noqa: E402
+
+devs = np.array(jax.devices())
+assert len(jax.local_devices()) == 4
+mesh = Mesh(devs.reshape(-1, 2, 2), ("b", "r", "c"))
+
+NX = 96
+A = poisson2d(NX)            # verification-only global copy (test side)
+opts = SPOptions(krylov_solver=KrylovSolver.DIRECT, factor_dtype="float64",
+                 refine_dtype="float64")
+s = DistributedSparseSolver(mesh, opts, fully_distributed=True)
+half = A.n // 2
+lo, hi = (0, half) if pid == 0 else (half, A.n)
+lrp = A.rowptr[lo:hi + 1] - A.rowptr[lo]
+lci = A.colind[A.rowptr[lo]:A.rowptr[hi]]
+lv = A.data[A.rowptr[lo]:A.rowptr[hi]]
+s.set_distributed_csr_matrix(lrp, lci, lv, lo, A.n)
+s.reorder(NX, NX)
+
+# --- the memory-model assertions (VERDICT r4 next #1 "done" bar) -------
+assert s.A is None, "driver materialized the global CSR"
+assert s.Ap is None, "driver materialized the permuted global CSR"
+ctx = s._dctx
+
+# permuted pattern held: strictly less than the global pattern
+Apg = A.symmetrize_sparsity().permute(s.perm, s.iperm)
+glob_pat = Apg.colind.nbytes + Apg.rowptr.nbytes
+frac_pat = ctx.pattern_bytes / glob_pat
+print(f"proc {pid}: symbolic pattern {ctx.pattern_bytes}/{glob_pat} "
+      f"bytes ({100 * frac_pat:.0f}%)", flush=True)
+assert frac_pat < 0.6, frac_pat
+
+# upd content held (numeric need set) vs global
+from strumpack_tpu.sparse.symbolic import symbolic_factorization  # noqa: E402
+upd_ref = symbolic_factorization(Apg, s.tree)
+glob_upd = sum(u.nbytes for u in upd_ref) or 1
+frac_upd = ctx.upd_bytes / glob_upd
+print(f"proc {pid}: upd content {ctx.upd_bytes}/{glob_upd} bytes "
+      f"({100 * frac_upd:.0f}%)", flush=True)
+assert frac_upd < 0.75, frac_upd
+
+# reduced numeric pattern + value pools vs the global matrix
+held_vals = ctx.vdev_rows.nbytes + ctx.vcom.nbytes
+glob_vals = Apg.data.nbytes * 1.0
+print(f"proc {pid}: value pools {held_vals} bytes vs global "
+      f"{glob_vals:.0f} ({100 * held_vals / glob_vals:.0f}%)", flush=True)
+
+rng = np.random.default_rng(0)
+xex = rng.standard_normal(A.n)
+b = A.spmv(xex)
+x, rc = s.solve(b)
+assert rc == ReturnCode.SUCCESS, rc
+res = A.max_scaled_residual(x, b)
+print(f"proc {pid}: fully-dist residual {res:.2e}", flush=True)
+assert res < 1e-10, res
+
+# per-process staged plan arrays: only this process's device rows
+sp = s._step.sharded_plan
+local_b, global_b = sp.staged_bytes()
+frac_plan = local_b / max(global_b, 1)
+print(f"proc {pid}: staged plan {local_b}/{global_b} bytes "
+      f"({100 * frac_plan:.0f}%)", flush=True)
+assert frac_plan < 0.6, (local_b, global_b)
+
+# identical answer to the single-process driver (same ordering): x must
+# solve to the same accuracy class; cross-check against exact solve
+err = np.linalg.norm(x - xex) / np.linalg.norm(xex)
+print(f"proc {pid}: rel err vs exact {err:.2e}", flush=True)
+assert err < 1e-9, err
+
+print(f"FDOK {pid}", flush=True)
