@@ -600,7 +600,16 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None,
     use_bf = bp.hodbf and bp.bf_D >= 2 and bp.u_pad > 0
 
     def one(F0):
-        if bp.hss:
+        if getattr(bp, "bf_direct", False):
+            # TRUE HODBF direct factorization of F11 (bpack_factor role,
+            # FrontHODLR.cpp:442-449 + HODLRWrapper bpack_factor):
+            # fixed-rank randomized butterfly algebra — pure jax, so it
+            # traces inside the bucket factor programs
+            from ..structured.hodbf import HODBFMatrix
+            H = HODBFMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
+                            max_rank=bp.hss_rank, rel_tol=hss_tol)
+            H.factor(fixed=True)
+        elif bp.hss:
             from ..structured.hss import HSSMatrix
             H = HSSMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
                           max_rank=bp.hss_rank, rel_tol=hss_tol)
@@ -615,10 +624,11 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None,
                                        else None),
                             shard_level=(shard_level
                                          if F.shape[0] == 1 else None))
-        H.factor()
+        if not getattr(bp, "bf_direct", False):
+            H.factor()
         F12 = F0[:sH, sH:]
         F21 = F0[sH:, :sH]
-        S12 = H.solve(F12) if bp.u_pad else F12
+        S12 = _f11_solve(H, F12) if bp.u_pad else F12
         CB = F0[sH:, sH:] - jnp.matmul(F21, S12,
                                        preferred_element_type=F0.dtype)
         if use_bf:
@@ -836,13 +846,24 @@ def _hss_sample_front(bp, bd, a, vals_ext, cb_list, hss_tol, dtype, seed,
     return H, S12, F21, CB
 
 
+
+def _f11_solve(H, b):
+    """Apply a structured front's F11 inverse: HODBF-direct factors go
+    through the jittable factor chain (HODBFMatrix.solve_direct, the
+    bpack_solve role); HSS/HODLR objects through their own solve."""
+    from ..structured.hodbf import HODBFMatrix
+    if isinstance(H, HODBFMatrix):
+        return H.solve_direct(b)
+    return H.solve(b)
+
+
 def _hss_solve_fwd(bp, entry, bloc, dtype):
     H, S12, F21 = entry
     sH = bp.s_pad
     if bp.nf == 1:
-        y = H.solve(bloc[0, :sH])[None]
+        y = _f11_solve(H, bloc[0, :sH])[None]
     else:
-        y = jax.vmap(lambda h, b: h.solve(b))(H, bloc[:, :sH])
+        y = jax.vmap(_f11_solve)(H, bloc[:, :sH])
     cbv = bloc[:, sH:] - jnp.matmul(F21, y, preferred_element_type=dtype)
     return y, cbv
 
@@ -1100,10 +1121,10 @@ def _bucket_fwd_step(li, bi, bd, a, fac_tree, bext, cbv_list):
         H, bfS12, bf21 = fac_tree["hss"][key]
         s = bp.s_pad
         if bp.nf == 1:
-            y = H.solve(bloc[0, :s])[None]
+            y = _f11_solve(H, bloc[0, :s])[None]
             f21y = bf_matvec(bf21, y[0], bp.bf_D, bp.bf_r)[None]
         else:
-            y = jax.vmap(lambda h, b: h.solve(b))(H, bloc[:, :s])
+            y = jax.vmap(_f11_solve)(H, bloc[:, :s])
             f21y = jax.vmap(
                 lambda bf, x: bf_matvec(bf, x, bp.bf_D, bp.bf_r))(bf21, y)
         cbv = bloc[:, s:] - f21y

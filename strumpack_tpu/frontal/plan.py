@@ -161,6 +161,10 @@ class BucketPlan:
     hodbf: bool = False
     bf_D: int = 0                # butterfly depth for the (s_pad, u_pad) pair
     bf_r: int = 0                # butterfly max rank
+    # TRUE HODBF direct factorization of F11 (HODBFMatrix.factor, the
+    # bpack_factor role, FrontHODLR.cpp:442-449 + HODLRWrapper) instead
+    # of HODLR-SMW — fixed-rank/traceable inside the jitted programs
+    bf_direct: bool = False
     # sampling-constructed HSS root front (FrontHSS::random_sampling role,
     # FrontHSS.cpp:241): never assembles the dense front; mult/elem closures
     # read the sparse block (ELL) + the children's CBs directly
@@ -293,6 +297,11 @@ def _assign_bucket_compression(bp: BucketPlan, compression) -> None:
             bp.hodlr = True
         bp.hss_leaf = min(compression.hss.leaf_size, max(sp // 4, 16))
         bp.hss_rank = min(compression.hss.max_rank, bp.hss_leaf)
+        if (bp.hodbf and sp >= 2 * bp.hss_leaf
+                and getattr(compression, "hodbf_direct", True)):
+            # route F11 through the true direct butterfly factorization
+            # when the HODLR tree has at least one level
+            bp.bf_direct = True
         if bp.hodbf and up > 0:
             # even butterfly depth usable by the rectangular
             # [s_pad, u_pad] off-diagonal blocks (bf_depth2)

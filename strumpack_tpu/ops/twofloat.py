@@ -83,12 +83,13 @@ def df_scale_add(xh, xl, a, yh, yl):
 
 
 @jax.jit
-def df_spmv_ell(vals, cols, xh, xl):
-    """Compensated padded-ELL spmv: y = A x with x, y double-float.
+def df_spmv_ell(vals, vals_lo, cols, xh, xl):
+    """Compensated padded-ELL spmv: y = A x with A AND x double-float.
 
-    vals [n, w] f32; cols [n, w]; x pair [n].  The row accumulation keeps a
-    running compensation term, giving ~1e-14 effective accuracy.
-    """
+    vals/vals_lo [n, w] f32 (A's values split hi + lo — without the lo
+    part the residual floor is eps_f32 * |A| ~ 1e-8 componentwise, the
+    round-4 chip measurement); cols [n, w]; x pair [n].  The row
+    accumulation keeps a running compensation term, ~1e-14 effective."""
     n, w = vals.shape
     xh_e = jnp.concatenate([xh, jnp.zeros((1,), jnp.float32)])
     xl_e = jnp.concatenate([xl, jnp.zeros((1,), jnp.float32)])
@@ -98,7 +99,7 @@ def df_spmv_ell(vals, cols, xh, xl):
     def body(j, acc):
         sh, sl = acc
         ph, pe = two_prod(vals[:, j], gxh[:, j])
-        pe = pe + vals[:, j] * gxl[:, j]
+        pe = pe + vals[:, j] * gxl[:, j] + vals_lo[:, j] * gxh[:, j]
         th, te = two_sum(sh, ph)
         te = te + (sl + pe)
         sh, sl = fast_two_sum(th, te)
@@ -115,7 +116,7 @@ def make_df_ir(pdev, rtol, atol, maxit):
     without native f64."""
     from ..frontal import numeric
 
-    def run(fac_tree, vals, cols, bh, bl):
+    def run(fac_tree, vals, vals_lo, cols, bh, bl):
         bnorm = jnp.linalg.norm(bh.astype(jnp.float32))
         tol = jnp.maximum(jnp.float32(rtol) * bnorm, jnp.float32(atol))
 
@@ -133,7 +134,7 @@ def make_df_ir(pdev, rtol, atol, maxit):
             d = prec(rh)
             xh, xl = df_scale_add(xh, xl, jnp.float32(1.0), d,
                                   jnp.zeros_like(d))
-            ah, al = df_spmv_ell(vals, cols, xh, xl)
+            ah, al = df_spmv_ell(vals, vals_lo, cols, xh, xl)
             rh, rl = df_add(bh, bl, -ah, -al)
             return xh, xl, rh, rl, jnp.linalg.norm(rh), it + 1
 

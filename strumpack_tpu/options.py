@@ -187,6 +187,15 @@ class SPOptions:
     # TPU matmul precision inside the f32 factor/solve: "float32" (full,
     # 3-pass bf16) or "bfloat16" (fast preconditioner mode, more IR its)
     matmul_precision: str = "float32"
+    # HODBF fronts: factor F11 by the TRUE direct butterfly
+    # factorization (HODBFMatrix.factor, bpack_factor role) instead of
+    # HODLR-SMW when the front's HODLR tree has >= 1 level
+    hodbf_direct: bool = True
+    # complex scalars via the real-equivalent 2x2-block expansion
+    # (CSRMatrix.to_real_interleaved): the TPU chip backend has no
+    # complex arithmetic, so complex64/128 inputs factor as interleaved
+    # real f32/f64 systems when enabled (2x native-complex flops).
+    complex_via_real: bool = False
 
     def describe(self) -> str:
         """--help text listing every supported flag (reference -h parity)."""

@@ -56,10 +56,32 @@ class SparseSolver:
         self._factored = False
 
     # -- input -------------------------------------------------------------
+    def _maybe_expand_complex(self, A):
+        """complex_via_real: factor the real-equivalent interleaved
+        expansion (CSRMatrix.to_real_interleaved — the TPU chip path for
+        complex scalars; the chip backend has no complex arithmetic)."""
+        opts = self.opts
+        if not (opts.complex_via_real and np.iscomplexobj(A.data)):
+            return A
+        first = getattr(self, "_cvr", None) is None
+        self._cvr = np.dtype(A.data.dtype)
+        A = A.to_real_interleaved()
+        for attr in ("factor_dtype", "refine_dtype"):
+            v = getattr(opts, attr)
+            if v in ("complex64",):
+                setattr(opts, attr, "float32")
+            elif v in ("complex128",):
+                setattr(opts, attr, "float64")
+        if first:
+            # each grid point now carries 2 real dofs (geometric ND
+            # ``components`` role, GeometricReordering.cpp:43-107)
+            opts.components *= 2
+        return A
+
     def set_csr_matrix(self, A) -> None:
         if not isinstance(A, CSRMatrix):
             A = CSRMatrix.from_scipy(A)
-        self.A = A
+        self.A = self._maybe_expand_complex(A)
         self._reordered = False
         self._factored = False
 
@@ -68,6 +90,7 @@ class SparseSolver:
         Reference: StrumpackSparseSolver.hpp:196 + structure-reuse test."""
         if not isinstance(A, CSRMatrix):
             A = CSRMatrix.from_scipy(A)
+        A = self._maybe_expand_complex(A)
         assert self.A is not None and A.nnz == self.A.nnz
         self.A = A
         self._factored = False
@@ -110,6 +133,16 @@ class SparseSolver:
         ell_dtype = np.float32 if rdt in ("float32x2", "df32") \
             else np.dtype(rdt)
         self.ell = DeviceELL(self.Ap, dtype=ell_dtype)
+        # double-float refinement needs A itself in hi+lo f32 pairs: with
+        # hi-only values the componentwise residual floor is
+        # eps_f32 * |A| ~ 1e-8 (round-4 chip measurement), not the 1e-10
+        # contract (StrumpackOptions.hpp:186-197)
+        self.ell_lo = None
+        if rdt in ("float32x2", "df32"):
+            Alo = self.Ap.copy()
+            d64 = np.asarray(self.Ap.data, np.float64)
+            Alo.data = d64 - d64.astype(np.float32).astype(np.float64)
+            self.ell_lo = DeviceELL(Alo, dtype=np.float32)
 
     def reorder(self, nx=None, ny=None, nz=None) -> ReturnCode:
         if self.A is None:
@@ -396,7 +429,21 @@ class SparseSolver:
                              matmul_precision=self.opts.matmul_precision)
 
     def solve(self, b, x0=None):
-        """Solve A x = b; returns (x, ReturnCode)."""
+        """Solve A x = b; returns (x, ReturnCode).  With
+        ``complex_via_real`` active, b/x are complex vectors of the
+        ORIGINAL system; the interleaved real system solves inside."""
+        if getattr(self, "_cvr", None) is not None:
+            br = CSRMatrix.complex_to_real_vec(np.asarray(b))
+            x0r = (None if x0 is None
+                   else CSRMatrix.complex_to_real_vec(np.asarray(x0)))
+            x, rc = self._solve_real(br, x0r)
+            if x is not None:
+                x = CSRMatrix.real_to_complex_vec(np.asarray(x),
+                                                  self._cvr)
+            return x, rc
+        return self._solve_real(b, x0)
+
+    def _solve_real(self, b, x0=None):
         if self.A is None:
             return None, ReturnCode.MATRIX_NOT_SET
         if not self._factored:
@@ -425,7 +472,8 @@ class SparseSolver:
             import jax
             with jax.default_matmul_precision(opts.matmul_precision):
                 xh, xl, it, rel = fn(self.fac.tree, self.ell.vals,
-                                     self.ell.cols, bh, bl)
+                                     self.ell_lo.vals, self.ell.cols,
+                                     bh, bl)
             self.its = int(it)
             self.achieved_rtol = float(rel)
             x = self._transform_x(df_to_f64(xh, xl))

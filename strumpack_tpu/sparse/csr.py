@@ -118,6 +118,62 @@ class CSRMatrix:
         colcnd = (cmax.min() / cmax.max()) if self.n else 1.0
         return dr, dc, rowcnd, colcnd, amax
 
+    def to_real_interleaved(self) -> "CSRMatrix":
+        """Real-equivalent expansion of a complex matrix: each entry
+        a + bi becomes the 2x2 block [[a, -b], [b, a]] at rows/cols
+        (2i, 2i+1) x (2j, 2j+1) — unknowns interleave as
+        [Re x_0, Im x_0, Re x_1, ...].
+
+        The TPU path for complex scalars: the chip backend has no
+        complex arithmetic (every c64 op returns UNIMPLEMENTED through
+        the axon tunnel), so the solver factors the real form instead —
+        structurally the sparsity pattern is the complex pattern with
+        2-dof points, which geometric ND handles via ``components``
+        (GeometricReordering.cpp:43-107 role).  2x the flops of native
+        complex LU; exact same answer."""
+        assert np.iscomplexobj(self.data)
+        n2 = 2 * self.n
+        counts = np.diff(self.rowptr)
+        # per complex entry, 2 entries in each of the 2 expanded rows
+        rcnt = np.repeat(counts * 2, 2)
+        rowptr = np.zeros(n2 + 1, np.int64)
+        np.cumsum(rcnt, out=rowptr[1:])
+        a = np.real(self.data).astype(np.float64)
+        b = np.imag(self.data).astype(np.float64)
+        c0 = 2 * self.colind
+        # row 2i:   (2j, a), (2j+1, -b);  row 2i+1: (2j, b), (2j+1, a)
+        colind = np.empty(rowptr[-1], np.int64)
+        data = np.empty(rowptr[-1], np.float64)
+        # even expanded rows take the entries of original row i in order
+        for i in range(self.n):
+            lo, hi = self.rowptr[i], self.rowptr[i + 1]
+            e = rowptr[2 * i]
+            k = hi - lo
+            colind[e:e + 2 * k:2] = c0[lo:hi]
+            colind[e + 1:e + 2 * k:2] = c0[lo:hi] + 1
+            data[e:e + 2 * k:2] = a[lo:hi]
+            data[e + 1:e + 2 * k:2] = -b[lo:hi]
+            o = rowptr[2 * i + 1]
+            colind[o:o + 2 * k:2] = c0[lo:hi]
+            colind[o + 1:o + 2 * k:2] = c0[lo:hi] + 1
+            data[o:o + 2 * k:2] = b[lo:hi]
+            data[o + 1:o + 2 * k:2] = a[lo:hi]
+        return CSRMatrix(n2, rowptr, colind, data,
+                         symm_sparse=self.symm_sparse)
+
+    @staticmethod
+    def complex_to_real_vec(x: np.ndarray) -> np.ndarray:
+        """[n] complex (or [n, k]) -> [2n(, k)] interleaved real."""
+        x = np.asarray(x)
+        out = np.empty((2 * x.shape[0],) + x.shape[1:], np.float64)
+        out[0::2] = np.real(x)
+        out[1::2] = np.imag(x)
+        return out
+
+    @staticmethod
+    def real_to_complex_vec(y: np.ndarray, dtype=np.complex128):
+        return (y[0::2] + 1j * y[1::2]).astype(dtype)
+
     def max_scaled_residual(self, x: np.ndarray, b: np.ndarray) -> float:
         """Componentwise scaled residual max_i |Ax-b|_i / (|A||x|+|b|)_i.
 

@@ -74,6 +74,38 @@ def _bf_fit(mv, rmv, ml, Dh, r, tol, key, dtype, use_rand, fixed=False):
         r = min(2 * r, rmax)
 
 
+class FNode:
+    """One node of the HODBF factor chain as a REGISTERED PYTREE: device
+    data (children factors, G blocks, W) are leaves; structure (kind,
+    block size, butterfly depth/ranks) is static aux.  This is what lets
+    a factored HODBFMatrix flow through jit boundaries — the sparse
+    fronts store it in the factor tree and the jitted solve phases apply
+    it (frontal/numeric.py hodbf-direct dispatch)."""
+    __slots__ = ("kind", "ml", "Dg", "rg12", "rg21", "lu", "G12", "G21",
+                 "W", "f1", "f2")
+
+    def __init__(self, kind, ml=0, Dg=0, rg12=0, rg21=0, lu=None,
+                 G12=None, G21=None, W=None, f1=None, f2=None):
+        self.kind = kind
+        self.ml, self.Dg, self.rg12, self.rg21 = ml, Dg, rg12, rg21
+        self.lu, self.G12, self.G21, self.W = lu, G12, G21, W
+        self.f1, self.f2 = f1, f2
+
+
+def _fnode_flatten(f):
+    return ((f.lu, f.G12, f.G21, f.W, f.f1, f.f2),
+            (f.kind, f.ml, f.Dg, f.rg12, f.rg21))
+
+
+def _fnode_unflatten(aux, ch):
+    kind, ml, Dg, rg12, rg21 = aux
+    lu, G12, G21, W, f1, f2 = ch
+    return FNode(kind, ml, Dg, rg12, rg21, lu, G12, G21, W, f1, f2)
+
+
+jax.tree_util.register_pytree_node(FNode, _fnode_flatten, _fnode_unflatten)
+
+
 def _lu(A):
     return jax.scipy.linalg.lu_factor(A)
 
@@ -135,7 +167,7 @@ class HODBFMatrix:
     @classmethod
     def from_matvec(cls, matvec, rmatvec, m, leaf_size=64, max_rank=None,
                     rel_tol=1e-6, key=None, dtype=None,
-                    dense_block_cutoff=128):
+                    dense_block_cutoff=128, fixed_rank=False):
         """Randomized HODBF compression from black-box products only —
         the reference's HODLRMatrix compress-from-multiply entry
         (HODLRMatrix.hpp:215 `compress(mult)`, HODLRWrapper.cpp
@@ -203,9 +235,9 @@ class HODBFMatrix:
                 use_rand = Dh >= 2 and ml > dense_block_cutoff
                 key, k1, k2 = jax.random.split(key, 3)
                 b12, r12 = _bf_fit(mv12, rmv12, ml, Dh, rl, tol, k1,
-                                   dtype, use_rand)
+                                   dtype, use_rand, fixed=fixed_rank)
                 b21, r21 = _bf_fit(mv21, rmv21, ml, Dh, rl, tol, k2,
-                                   dtype, use_rand)
+                                   dtype, use_rand, fixed=fixed_rank)
                 rl = max(rl, r12, r21)
                 p12.append((b12, r12))
                 p21.append((b21, r21))
@@ -291,18 +323,21 @@ class HODBFMatrix:
 
     # ------------------------------------------------------------------
     # direct factorization (bpack_factor role)
-    def _factor_node(self, d, q, key, dense_cutoff):
+    def _factor_node(self, d, q, key, dense_cutoff, fixed=False):
         """Factor node (d, q): returns the factor tree for
         A_node = blkdiag(A_1, A_2) [[I, G12], [G21, I]] with the level
         correction solved through W = I - G21 G12 (HODLRWrapper.cpp
-        bpack_factor — randomized butterfly inversion)."""
+        bpack_factor — randomized butterfly inversion).  ``fixed``
+        disables the host-level rank adaptivity so the whole
+        factorization is pure jax and TRACEABLE — the sparse fronts run
+        it inside the jitted factor programs."""
         if d == self.L:
-            return dict(kind="leaf", lu=_lu(self.D[q]))
+            return FNode("leaf", lu=_lu(self.D[q]))
         li = self.L - 1 - d
         ml = self.mp >> (d + 1)
         key, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
-        f1 = self._factor_node(d + 1, 2 * q, k1, dense_cutoff)
-        f2 = self._factor_node(d + 1, 2 * q + 1, k2, dense_cutoff)
+        f1 = self._factor_node(d + 1, 2 * q, k1, dense_cutoff, fixed)
+        f2 = self._factor_node(d + 1, 2 * q + 1, k2, dense_cutoff, fixed)
         b12 = _tslice(self.bf12[li], q)
         b21 = _tslice(self.bf21[li], q)
         Dh, rl = self.bf_D[li], self.bf_r[li]
@@ -321,14 +356,21 @@ class HODBFMatrix:
             G21 = mv21(I)
             W = I - jnp.matmul(G21, G12,
                                preferred_element_type=self.dtype)
-            return dict(kind="dense", f1=f1, f2=f2, ml=ml,
-                        G12=G12, G21=G21, W=_lu(W))
+            return FNode("dense", ml=ml, G12=G12, G21=G21, W=_lu(W),
+                         f1=f1, f2=f2)
         rg0 = min(2 * rl, ml // 2)
         tg = self.rel_tol
-        G12, rg12, _ = bf_compress_rand_adaptive(
-            mv12, rmv12, ml, ml, Dg, rg0, tg, key=k3)
-        G21, rg21, _ = bf_compress_rand_adaptive(
-            mv21, rmv21, ml, ml, Dg, rg0, tg, key=k4)
+        if fixed:
+            G12 = bf_compress_rand(mv12, rmv12, ml, ml, Dg, rg0, tg,
+                                   key=k3, dtype=self.dtype)
+            G21 = bf_compress_rand(mv21, rmv21, ml, ml, Dg, rg0, tg,
+                                   key=k4, dtype=self.dtype)
+            rg12 = rg21 = rg0
+        else:
+            G12, rg12, _ = bf_compress_rand_adaptive(
+                mv12, rmv12, ml, ml, Dg, rg0, tg, key=k3)
+            G21, rg21, _ = bf_compress_rand_adaptive(
+                mv21, rmv21, ml, ml, Dg, rg0, tg, key=k4)
         wmv = lambda X: X - bf_matvec(                  # noqa: E731
             G21, bf_matvec(G12, X, Dg, rg12), Dg, rg21)
         wrmv = lambda Y: Y - bf_rmatvec(                # noqa: E731
@@ -339,35 +381,35 @@ class HODBFMatrix:
             wmv, wrmv, ml, leaf_size=self.t,
             max_rank=max(self.r, rg12, rg21),
             rel_tol=self.rel_tol, key=k5, dtype=self.dtype,
-            dense_block_cutoff=dense_cutoff)
-        Wm.factor(dense_cutoff=dense_cutoff, key=k5)
-        return dict(kind="bf", f1=f1, f2=f2, ml=ml, Dg=Dg,
-                    rg12=rg12, rg21=rg21, G12=G12, G21=G21, W=Wm)
+            dense_block_cutoff=dense_cutoff, fixed_rank=fixed)
+        Wm.factor(dense_cutoff=dense_cutoff, key=k5, fixed=fixed)
+        return FNode("bf", ml=ml, Dg=Dg, rg12=rg12, rg21=rg21,
+                     G12=G12, G21=G21, W=Wm, f1=f1, f2=f2)
 
     def _g_apply(self, f, which, x, adjoint=False):
-        G = f[which]
-        if f["kind"] == "dense":
+        G = getattr(f, which)
+        if f.kind == "dense":
             M = G.conj().T if adjoint else G
             return jnp.matmul(M, x, preferred_element_type=self.dtype)
-        rg = f["rg12" if which == "G12" else "rg21"]
+        rg = f.rg12 if which == "G12" else f.rg21
         if adjoint:
-            return bf_rmatvec(G, x, f["Dg"], rg)
-        return bf_matvec(G, x, f["Dg"], rg)
+            return bf_rmatvec(G, x, f.Dg, rg)
+        return bf_matvec(G, x, f.Dg, rg)
 
     def _w_solve(self, f, b, adjoint=False):
-        if f["kind"] == "dense":
-            return _lu_solve(f["W"], b, adjoint)
-        return (f["W"]._rsolve_padded(b) if adjoint
-                else f["W"]._solve_padded(b))
+        if f.kind == "dense":
+            return _lu_solve(f.W, b, adjoint)
+        return (f.W._rsolve_padded(b) if adjoint
+                else f.W._solve_padded(b))
 
     def _node_solve(self, f, b):
         """x = A_node^{-1} b via children solves then the level
         correction: z2 = W^{-1}(u2 - G21 u1), z1 = u1 - G12 z2."""
-        if f["kind"] == "leaf":
-            return _lu_solve(f["lu"], b)
-        ml = f["ml"]
-        u1 = self._node_solve(f["f1"], b[:ml])
-        u2 = self._node_solve(f["f2"], b[ml:])
+        if f.kind == "leaf":
+            return _lu_solve(f.lu, b)
+        ml = f.ml
+        u1 = self._node_solve(f.f1, b[:ml])
+        u2 = self._node_solve(f.f2, b[ml:])
         z2 = self._w_solve(f, u2 - self._g_apply(f, "G21", u1))
         z1 = u1 - self._g_apply(f, "G12", z2)
         return jnp.concatenate([z1, z2])
@@ -375,27 +417,41 @@ class HODBFMatrix:
     def _node_rsolve(self, f, b):
         """x = A_node^{-H} b: the correction adjoint solves through W^H
         first, then the children adjoint solves."""
-        if f["kind"] == "leaf":
-            return _lu_solve(f["lu"], b, adjoint=True)
-        ml = f["ml"]
+        if f.kind == "leaf":
+            return _lu_solve(f.lu, b, adjoint=True)
+        ml = f.ml
         b1, b2 = b[:ml], b[ml:]
         v2 = self._w_solve(
             f, b2 - self._g_apply(f, "G12", b1, adjoint=True),
             adjoint=True)
         v1 = b1 - self._g_apply(f, "G21", v2, adjoint=True)
-        x1 = self._node_rsolve(f["f1"], v1)
-        x2 = self._node_rsolve(f["f2"], v2)
+        x1 = self._node_rsolve(f.f1, v1)
+        x2 = self._node_rsolve(f.f2, v2)
         return jnp.concatenate([x1, x2])
 
     # ------------------------------------------------------------------
-    def factor(self, dense_cutoff=256, key=None):
+    def factor(self, dense_cutoff=256, key=None, fixed=False):
         """TRUE direct factorization (bpack_factor role): bottom-up
         multiplicative sweep with butterfly-compressed G blocks and
-        recursively factored Schur corrections."""
+        recursively factored Schur corrections.  ``fixed=True`` = pure
+        jax (traceable, no rank adaptivity)."""
         if key is None:
             key = jax.random.PRNGKey(7)
-        self._froot = self._factor_node(0, 0, key, int(dense_cutoff))
+        self._froot = self._factor_node(0, 0, key, int(dense_cutoff),
+                                        fixed)
         self._factored = "direct"
+
+    def solve_direct(self, b):
+        """Jittable solve through the factor chain alone (no host-side
+        refinement — the sparse driver's outer Krylov mops up butterfly
+        truncation).  b: [m] or [m, k]."""
+        b = jnp.asarray(b, self.dtype)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        bp = jnp.zeros((self.mp, b.shape[1]), self.dtype).at[:self.m].set(b)
+        x = self._solve_padded(bp)[:self.m]
+        return x[:, 0] if squeeze else x
 
     def _solve_padded(self, b):
         return self._node_solve(self._froot, b)
@@ -487,3 +543,31 @@ class HODBFMatrix:
             mr = max(mr, int(np.asarray(bfs["rkU"]).max()),
                      int(np.asarray(bfs["rkV"]).max()))
         return mr
+
+
+def _hodbf_flatten(h):
+    """HODBFMatrix pytree: device data (leaf diagonals, level butterfly
+    arrays, factor chain) as leaves; sizes/ranks/dtype as static aux —
+    lets factored HODBF fronts cross jit boundaries (the sparse solve
+    phases receive them inside the factor tree)."""
+    leaves = (h.D, tuple(h.bf12), tuple(h.bf21),
+              getattr(h, "_froot", None), getattr(h, "_prec", None))
+    aux = (h.m, h.t, h.mp, h.L, h.r, h.rel_tol, tuple(h.bf_D),
+           tuple(h.bf_r), getattr(h, "_factored", None),
+           jnp.dtype(h.dtype).name)
+    return leaves, aux
+
+
+def _hodbf_unflatten(aux, leaves):
+    h = HODBFMatrix.__new__(HODBFMatrix)
+    (h.m, h.t, h.mp, h.L, h.r, h.rel_tol, bf_D, bf_r, h._factored,
+     dt) = aux
+    h.bf_D, h.bf_r = list(bf_D), list(bf_r)
+    h.dtype = jnp.dtype(dt)
+    (h.D, bf12, bf21, h._froot, h._prec) = leaves
+    h.bf12, h.bf21 = list(bf12), list(bf21)
+    return h
+
+
+jax.tree_util.register_pytree_node(HODBFMatrix, _hodbf_flatten,
+                                   _hodbf_unflatten)

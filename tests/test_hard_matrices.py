@@ -185,3 +185,63 @@ def test_fixture_sweep(fname, comp, krylov):
     assert rc == ReturnCode.SUCCESS, (fname, rc)
     res = A.max_scaled_residual(x, b)
     assert res <= 1e2 * opts.rel_tol, (fname, res)
+
+
+def test_helmholtz_complex_hodbf_fronts():
+    """Complex Helmholtz solved with HODBF-compressed fronts — the
+    FrontHODLR + HODLROptions butterfly path of the reference
+    (examples/sparse/testHelmholtz.cpp, FrontHODLR.cpp:442-449) with
+    complex factors end to end (VERDICT r4 missing #2: complex as a
+    first-class scalar through the compressed front stack)."""
+    from strumpack_tpu.sparse.gen import helmholtz3d
+    A = helmholtz3d(14, k0=8.0)
+    opts = SPOptions(factor_dtype="complex128", refine_dtype="complex128",
+                     krylov_solver=KrylovSolver.PREC_GMRES, rel_tol=1e-8,
+                     compression=CompressionType.HODBF,
+                     compression_min_sep_size=64)
+    opts.hss.leaf_size = 32
+    opts.hss.max_rank = 64
+    opts.hss.rel_tol = 1e-6
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder()
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n) + 1j * rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    res = A.max_scaled_residual(x, b)
+    assert res <= 1e2 * opts.rel_tol, res
+
+
+def test_hodbf_direct_fronts_engage():
+    """bp.hodbf fronts route F11 through the TRUE HODBF direct
+    factorization (HODBFMatrix.factor, the bpack_factor role —
+    FrontHODLR.cpp:442-449 wires ButterflyPACK's factorization into the
+    fronts; ROADMAP r4 next #5): the factor tree stores HODBFMatrix
+    chains and the jitted solve phases apply them via solve_direct."""
+    from strumpack_tpu import SparseSolver
+    from strumpack_tpu.structured.hodbf import HODBFMatrix
+    A = CSRMatrix.from_matrix_market(
+        os.path.join(FIXDIR, "helmholtz3d_14.mtx"))
+    opts = SPOptions(krylov_solver=KrylovSolver.PREC_GMRES, rel_tol=1e-8,
+                     compression=CompressionType.HODBF,
+                     compression_min_sep_size=64, hodbf_direct=True)
+    opts.hss.leaf_size = 32
+    opts.hss.max_rank = 64
+    opts.hss.rel_tol = 1e-6
+    s = SparseSolver(opts)
+    s.set_csr_matrix(A)
+    s.reorder()
+    assert any(bp.bf_direct for lvl in s.plan.levels for bp in lvl
+               if bp.hodbf), "no bucket took the direct route"
+    s.factor()
+    assert any(isinstance(v[0], HODBFMatrix)
+               for v in s.fac.tree["hss"].values())
+    rng = np.random.default_rng(0)
+    xex = rng.standard_normal(A.n)
+    b = A.spmv(xex)
+    x, rc = s.solve(b)
+    assert rc == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x, b) <= 1e2 * opts.rel_tol
+    assert s.its <= 8

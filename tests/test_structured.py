@@ -327,10 +327,10 @@ def test_hodbf_direct_factor_butterfly_path():
     kinds = []
 
     def walk(f):
-        kinds.append(f["kind"])
-        if f["kind"] != "leaf":
-            walk(f["f1"])
-            walk(f["f2"])
+        kinds.append(f.kind)
+        if f.kind != "leaf":
+            walk(f.f1)
+            walk(f.f2)
     walk(H._froot)
     assert "bf" in kinds, kinds
     x = rng.standard_normal(m)
