@@ -33,7 +33,6 @@ from strumpack_tpu.sparse.gen import poisson2d  # noqa: E402
 from strumpack_tpu.utils.params import ReturnCode  # noqa: E402
 
 devs = np.array(jax.devices())
-assert len(jax.local_devices()) == 4
 mesh = Mesh(devs.reshape(-1, 2, 2), ("b", "r", "c"))
 
 NX = 96
@@ -41,8 +40,8 @@ A = poisson2d(NX)            # verification-only global copy (test side)
 opts = SPOptions(krylov_solver=KrylovSolver.DIRECT, factor_dtype="float64",
                  refine_dtype="float64")
 s = DistributedSparseSolver(mesh, opts, fully_distributed=True)
-half = A.n // 2
-lo, hi = (0, half) if pid == 0 else (half, A.n)
+lo = pid * A.n // nproc
+hi = (pid + 1) * A.n // nproc
 lrp = A.rowptr[lo:hi + 1] - A.rowptr[lo]
 lci = A.colind[A.rowptr[lo]:A.rowptr[hi]]
 lv = A.data[A.rowptr[lo]:A.rowptr[hi]]
