@@ -607,7 +607,9 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None,
             # traces inside the bucket factor programs
             from ..structured.hodbf import HODBFMatrix
             H = HODBFMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
-                            max_rank=bp.hss_rank, rel_tol=hss_tol)
+                            max_rank=bp.hss_rank, rel_tol=hss_tol,
+                            constrain=(constrain if F.shape[0] == 1
+                                       else None))
             H.factor(fixed=True)
         elif bp.hss:
             from ..structured.hss import HSSMatrix

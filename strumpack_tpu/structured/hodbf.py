@@ -115,7 +115,8 @@ def _lu_solve(f, b, adjoint=False):
 
 
 class HODBFMatrix:
-    def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6):
+    def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6,
+                 constrain=None):
         A = jnp.asarray(A)
         self.m = A.shape[0]
         self.t = int(leaf_size)
@@ -123,6 +124,12 @@ class HODBFMatrix:
         self.r = int(max_rank) if max_rank else max(8, self.t // 2)
         self.rel_tol = rel_tol
         self.dtype = A.dtype
+        # mesh-distribution hook (FrontHODLRMPI role): a sharding-
+        # constraint callback applied to the level-batched block arrays
+        # and butterfly leaves, so GSPMD partitions the per-level
+        # compressions over the block-pair axis (parallel/spmd.py
+        # 'struct' mode threads _struct_constrain here)
+        self._con = constrain
         self._compress(A)
         self._prec = None
         self._factored = None
@@ -158,8 +165,9 @@ class HODBFMatrix:
             Dh = bf_depth(ml, self.t)
             rl = min(self.r, max(8, ml // 2))
             comp = jax.vmap(lambda Ab: bf_compress(Ab, Dh, rl, tol))
-            self.bf12.append(comp(A12))
-            self.bf21.append(comp(A21))
+            con = self._con if getattr(self, "_con", None) else (lambda x: x)
+            self.bf12.append(jax.tree_util.tree_map(con, comp(con(A12))))
+            self.bf21.append(jax.tree_util.tree_map(con, comp(con(A21))))
             self.bf_D.append(Dh)
             self.bf_r.append(rl)
 
@@ -563,6 +571,7 @@ def _hodbf_unflatten(aux, leaves):
     (h.m, h.t, h.mp, h.L, h.r, h.rel_tol, bf_D, bf_r, h._factored,
      dt) = aux
     h.bf_D, h.bf_r = list(bf_D), list(bf_r)
+    h._con = None
     h.dtype = jnp.dtype(dt)
     (h.D, bf12, bf21, h._froot, h._prec) = leaves
     h.bf12, h.bf21 = list(bf12), list(bf21)
