@@ -669,7 +669,14 @@ def _big_factor(sp, li, bi, bigs, vals_ext, cb_full, th, tol, out,
             pr *= mesh.shape[ax]
         for ax in sp.col_axes:
             pc *= mesh.shape[ax]
-        use_cyc = (_os3.environ.get("STRUMPACK_TPU_CYCLIC")
+        # tile-cyclic is the DEFAULT (r5 ablation on the 8-device mesh:
+        # 1.7x faster than the contiguous layout at 2048/4096-wide
+        # fronts — the trailing-update tail stays balanced, exactly why
+        # the reference's layout IS block-cyclic,
+        # dense/DistributedMatrix.hpp:84); STRUMPACK_TPU_CYCLIC=0 opts
+        # back into the contiguous grid layout
+        use_cyc = (_os3.environ.get("STRUMPACK_TPU_CYCLIC", "1")
+                   not in ("", "0")
                    and _cyclic_blk(bp.p, bp.s_pad, pr, pc))
         if use_cyc:
             # tile-cyclic owned layout: balanced tail panels
