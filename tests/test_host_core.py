@@ -319,3 +319,33 @@ def test_distributed_nd_composition():
     b = Ap.spmv(np.ones(n))
     x = np.asarray(numeric.solve(fac, jnp.asarray(b)))
     assert np.linalg.norm(Ap.spmv(x) - b) / np.linalg.norm(b) < 1e-12
+
+
+def test_roofline_report():
+    """Roofline analysis of a plan (BASELINE 'every hot kernel
+    roofline-analyzed'): per-bucket AI + bound, plan-achievable rate;
+    small fronts must classify HBM-bound, a large dense front
+    MXU-bound."""
+    import numpy as np
+    from strumpack_tpu.sparse.gen import poisson2d
+    from strumpack_tpu.sparse.ordering.geometric import geometric_nd
+    from strumpack_tpu.sparse.symbolic import symbolic_factorization
+    from strumpack_tpu.frontal.plan import build_plan
+    from strumpack_tpu.utils import roofline
+
+    A = poisson2d(40)
+    perm, iperm, tree = geometric_nd(40, 40, leaf=4)
+    Ap = A.permute(perm, iperm)
+    upd = symbolic_factorization(Ap, tree)
+    plan = build_plan(Ap, tree, upd)
+    rows, summ = roofline.plan_roofline(plan)
+    assert summ["total_flops"] > 0
+    assert 0.0 <= summ["compute_bound_flop_frac"] <= 1.0
+    # deepest-level small fronts: HBM-bound
+    small = [r for r in rows if r.s_pad <= 8]
+    assert small and not any(r.compute_bound for r in small)
+    lines = []
+    summ2 = roofline.report(plan, measured_seconds=1.0,
+                            out=lines.append)
+    assert summ2["achievable_gflops"] > 0 and any(
+        "roofline" in l for l in lines)
