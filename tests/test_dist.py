@@ -345,9 +345,30 @@ def test_fully_distributed_single_process():
     rng = np.random.default_rng(0)
     xex = rng.standard_normal(A.n)
     b = A.spmv(xex)
+    # factor ONCE, then multiple solves reuse the factor tree
+    # (SparseSolverBase factor()/solve() semantics — r4 weak #5)
+    assert s.factor() == ReturnCode.SUCCESS
+    tree0 = s._tree
+    assert tree0 is not None
     x, rc = s.solve(b)
     assert rc == ReturnCode.SUCCESS
     assert A.max_scaled_residual(x, b) < 1e-10
+    b2 = A.spmv(2.0 * xex)
+    x2, rc2 = s.solve(b2)
+    assert rc2 == ReturnCode.SUCCESS
+    assert s._tree is tree0, "solve refactored"
+    assert A.max_scaled_residual(x2, b2) < 1e-10
+
+    # REFINE mode: host IR loop over the distributed spmv, factor reused
+    opts_ir = SPOptions(krylov_solver=KrylovSolver.REFINE,
+                        factor_dtype="float64", refine_dtype="float64",
+                        rel_tol=1e-12)
+    s3 = DistributedSparseSolver(mesh, opts_ir, fully_distributed=True)
+    s3.set_distributed_csr_matrix(A.rowptr, A.colind, A.data, 0, A.n)
+    s3.reorder(24, 24)
+    x3, rc3 = s3.solve(b)
+    assert rc3 == ReturnCode.SUCCESS
+    assert A.max_scaled_residual(x3, b) < 1e-10
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
