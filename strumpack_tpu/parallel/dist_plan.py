@@ -277,6 +277,7 @@ class DistPlanContext:
                                           self.ndev)
         plan_need, upd_need = process_needs(tree, dev_of, pool_of,
                                             self.proc_of_dev, nproc)
+        self.dev_of, self.pool_of = dev_of, pool_of
         rupd = DS.redistribute_upd(dupd, upd_need, pid, owner=owner)
         self.upd_bytes = sum(
             np.asarray(rupd[f]).nbytes for f in upd_need[pid]
@@ -290,6 +291,22 @@ class DistPlanContext:
         self.nrepl, self.Kv, self.Kc = nrepl, Kv, Kc
         self.plan = build_plan(red, tree, rupd, compression=self.opts)
         self.pdev = PlanDev(self.plan)
+        return self
+
+    def update_values(self, begin_row, local_rowptr, local_colind,
+                      local_vals):
+        """New values, same pattern: re-run ONLY the entry exchange and
+        value-pool rebuild — the plan, symbolic data and programs are
+        reused (the reference's update_matrix_values structure-reuse
+        contract, StrumpackSparseSolver.hpp:196, for the distributed
+        driver)."""
+        (red, vdev_rows, vcom, nrepl, Kv, Kc) = exchange_entries(
+            begin_row, local_rowptr, local_colind, local_vals,
+            self.perm, self.iperm, self.tree, self.dev_of, self.pool_of,
+            self.proc_of_dev, self.pid, self.nproc, self.local_rows)
+        assert (Kv, Kc, nrepl) == (self.Kv, self.Kc, self.nrepl), \
+            "pattern changed — use set_distributed_csr_matrix + reorder"
+        self.vdev_rows, self.vcom = vdev_rows, vcom
         return self
 
     def stage_vals(self, dtype):

@@ -177,6 +177,33 @@ class DistributedSparseSolver(SparseSolver):
         self.times["reorder"] = _time.perf_counter() - t0
         return ReturnCode.SUCCESS
 
+    def update_matrix_values(self, local_rowptr=None, local_colind=None,
+                             local_vals=None, begin_row=None, A=None):
+        """New values, same pattern (structure-reuse contract,
+        StrumpackSparseSolver.hpp:196).  Fully-distributed mode takes
+        the block-row arrays; otherwise delegates to the base class
+        (global CSR)."""
+        if not self.fully_distributed:
+            return super().update_matrix_values(A)
+        b0, lrp0, lci0, _ = self._block
+        if begin_row is None:
+            begin_row = b0
+        local_rowptr = lrp0 if local_rowptr is None else np.asarray(
+            local_rowptr, np.int64)
+        local_colind = lci0 if local_colind is None else np.asarray(
+            local_colind, np.int64)
+        local_vals = np.asarray(local_vals)
+        self._block = (int(begin_row), local_rowptr, local_colind,
+                       local_vals)
+        if self._dctx is not None:
+            import jax.numpy as jnp
+            self._dctx.update_values(int(begin_row), local_rowptr,
+                                     local_colind, local_vals)
+            if self._step is not None:
+                fd = jnp.dtype(self.opts.factor_dtype)
+                self._vdev, self._vcom = self._dctx.stage_vals(fd)
+            self._tree = None       # refactor with the new values
+
     def _dist_norm1(self):
         """1-norm (max column abs sum) without assembling the matrix:
         local partial column sums + one allreduce."""

@@ -359,6 +359,17 @@ def test_fully_distributed_single_process():
     assert s._tree is tree0, "solve refactored"
     assert A.max_scaled_residual(x2, b2) < 1e-10
 
+    # update_matrix_values: plan + programs reused, new value pools
+    # (StrumpackSparseSolver.hpp:196 structure-reuse contract)
+    lv2 = A.data * 1.5
+    s.update_matrix_values(local_vals=lv2)
+    A2 = poisson2d(24)
+    A2.data = lv2
+    b3 = A2.spmv(xex)
+    x3u, rc3u = s.solve(b3)
+    assert rc3u == ReturnCode.SUCCESS
+    assert A2.max_scaled_residual(x3u, b3) < 1e-10
+
     # REFINE mode: host IR loop over the distributed spmv, factor reused
     opts_ir = SPOptions(krylov_solver=KrylovSolver.REFINE,
                         factor_dtype="float64", refine_dtype="float64",
