@@ -364,9 +364,9 @@ def main():
         o = SPOptions(factor_dtype="complex64", refine_dtype="complex64",
                       krylov_solver=KrylovSolver.PREC_GMRES, rel_tol=1e-4,
                       compression=CompressionType.HODBF,
-                      compression_min_sep_size=256,
+                      compression_min_sep_size=512,
                       complex_via_real=True)
-        o.hss.leaf_size = 64
+        o.hss.leaf_size = 128
         o.hss.max_rank = 64
         o.hss.rel_tol = 1e-4
         s = SparseSolver(o)
