@@ -62,7 +62,8 @@ class DistributedSparseSolver(SparseSolver):
     the GEOMETRIC (pattern-free) ordering and no matching/equilibration
     — general ND / MC64 need a gathered graph, exactly like the
     reference gathers to root for MC64 (CSRMatrixMPI::matching).
-    DIRECT and REFINE Krylov modes are supported.
+    All Krylov modes run: DIRECT/REFINE plus GMRES/BiCGStab over the
+    halo-exchange DistCSR built from the local blocks.
     """
 
     def __init__(self, mesh, opts: SPOptions | None = None, verbose=None,
@@ -74,6 +75,7 @@ class DistributedSparseSolver(SparseSolver):
         self._block = None          # (begin_row, rowptr, colind, vals)
         self._dctx = None
         self._dn = None
+        self._distA = None          # halo-exchange DistCSR (lazy)
 
     # -- distributed input (CSRMatrixMPI role) --------------------------
     def set_distributed_csr_matrix(self, local_rowptr, local_colind,
@@ -195,6 +197,8 @@ class DistributedSparseSolver(SparseSolver):
         local_vals = np.asarray(local_vals)
         self._block = (int(begin_row), local_rowptr, local_colind,
                        local_vals)
+        if self._distA is not None:
+            self._distA.set_local_values(local_vals)
         if self._dctx is not None:
             import jax.numpy as jnp
             self._dctx.update_values(int(begin_row), local_rowptr,
@@ -253,33 +257,23 @@ class DistributedSparseSolver(SparseSolver):
                                                       vcom=self._vcom)
         return ReturnCode.SUCCESS
 
+    def _ensure_dist_A(self):
+        """The halo-exchange DistCSR built from the LOCAL block rows —
+        no process ever assembles the global pattern (CSRMatrixMPI
+        constructor + spmv role, CSRMatrixMPI.hpp:72/:239).  Backs the
+        outer Krylov iterations of the fully-distributed driver."""
+        if self._distA is None:
+            from .dist_spmv import DistCSR
+            begin, lrp, lci, lv = self._block
+            self._distA = DistCSR.from_local_block(
+                begin, lrp, lci, lv, self._dn, self.mesh,
+                dtype=np.dtype(self.opts.refine_dtype))
+        return self._distA
+
     def _dist_spmv(self, x):
-        """y = A x from the LOCAL block rows + one allgather of the row
-        blocks (the CSRMatrixMPI::spmv role for the host-side outer
-        iteration; x replicated [n])."""
-        import jax
-        begin, lrp, lci, lv = self._block
-        nloc = len(lrp) - 1
-        counts = np.diff(lrp)
-        rows = np.repeat(np.arange(nloc, dtype=np.int64), counts)
-        yl = np.zeros(nloc, dtype=np.result_type(lv, x))
-        np.add.at(yl, rows, np.asarray(lv) * x[lci])
-        if jax.process_count() == 1:
-            return yl
-        from jax.experimental import multihost_utils as mh
-        meta = np.zeros(2 + len(yl), np.float64)
-        meta[0], meta[1] = begin, nloc
-        meta[2:2 + nloc] = yl
-        mx = int(np.asarray(mh.process_allgather(
-            np.asarray([len(meta)], np.int64))).max())
-        pad = np.zeros(mx, np.float64)
-        pad[:len(meta)] = meta
-        allm = np.asarray(mh.process_allgather(pad)).reshape(-1, mx)
-        y = np.zeros(self._dn, np.float64)
-        for row in allm:
-            b0, nl = int(row[0]), int(row[1])
-            y[b0:b0 + nl] = row[2:2 + nl]
-        return y
+        """y = A x via the distributed halo-exchange spmv (host vector in
+        and out; the device product shards over the whole mesh)."""
+        return self._ensure_dist_A().spmv_host(np.asarray(x))
 
     def _solve_fully_distributed(self, b):
         import jax.numpy as jnp
@@ -308,6 +302,35 @@ class DistributedSparseSolver(SparseSolver):
         if solver == KS.DIRECT:
             self.its = 1
             return prec(b), ReturnCode.SUCCESS
+        if solver in (KS.GMRES, KS.PREC_GMRES, KS.BICGSTAB,
+                      KS.PREC_BICGSTAB):
+            # host outer loop over the distributed halo spmv; the
+            # preconditioner is the mesh-wide multifrontal solve
+            # (GMResMPI/BiCGStabMPI role, iterative/GMResMPI.cpp)
+            import jax.numpy as _jnp
+            from ..krylov.solvers import bicgstab, gmres
+            Ad = self._ensure_dist_A()
+            pc = (None if solver in (KS.GMRES, KS.BICGSTAB)
+                  else lambda r: _jnp.asarray(prec(np.asarray(r))))
+            sp = lambda x: _jnp.asarray(Ad.spmv_host(np.asarray(x)))
+            if solver in (KS.GMRES, KS.PREC_GMRES):
+                x, its, rel = gmres(sp, pc, _jnp.asarray(b),
+                                    rtol=opts.rel_tol, atol=opts.abs_tol,
+                                    maxit=opts.maxit,
+                                    restart=opts.gmres_restart,
+                                    verbose=self.opts.verbose)
+            else:
+                x, its, rel = bicgstab(sp, pc, _jnp.asarray(b),
+                                       rtol=opts.rel_tol,
+                                       atol=opts.abs_tol,
+                                       maxit=opts.maxit,
+                                       verbose=self.opts.verbose)
+            self.its = int(its)
+            self.achieved_rtol = float(rel)
+            rc = (ReturnCode.SUCCESS if self.its < opts.maxit
+                  or self.achieved_rtol <= opts.rel_tol
+                  else ReturnCode.NO_CONVERGENCE)
+            return np.asarray(x), rc
         # REFINE: host outer loop, distributed spmv residuals
         # (IterativeRefinementMPI role, iterative/IterativeRefinementMPI
         # .cpp — the factor is reused across iterations)
@@ -336,12 +359,6 @@ class DistributedSparseSolver(SparseSolver):
         if rc != ReturnCode.SUCCESS:
             return None, rc
         if self.fully_distributed:
-            from ..options import KrylovSolver as KS
-            if self.opts.krylov_solver not in (KS.DIRECT, KS.AUTO,
-                                               KS.REFINE):
-                raise NotImplementedError(
-                    "fully-distributed mode: DIRECT or REFINE (GMRES/"
-                    "BiCGStab need the assembled spmv operator)")
             return self._solve_fully_distributed(b)
         opts = self.opts
         fd = jnp.dtype(opts.factor_dtype)

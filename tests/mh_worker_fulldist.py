@@ -99,4 +99,24 @@ err = np.linalg.norm(x - xex) / np.linalg.norm(xex)
 print(f"proc {pid}: rel err vs exact {err:.2e}", flush=True)
 assert err < 1e-9, err
 
+# outer GMRES over the halo-exchange DistCSR built from the LOCAL blocks
+# (GMResMPI role, iterative/GMResMPI.cpp — no global pattern assembled;
+# the distributed constructor routes rows/halos via the p2p alltoallv)
+opts_g = SPOptions(krylov_solver=KrylovSolver.PREC_GMRES,
+                   factor_dtype="float64", refine_dtype="float64",
+                   rel_tol=1e-12)
+sg = DistributedSparseSolver(mesh, opts_g, fully_distributed=True)
+sg.set_distributed_csr_matrix(lrp, lci, lv, lo, A.n)
+sg.reorder(NX, NX)
+xg, rcg = sg.solve(b)
+assert rcg == ReturnCode.SUCCESS, rcg
+resg = A.max_scaled_residual(xg, b)
+print(f"proc {pid}: fully-dist GMRES residual {resg:.2e} its {sg.its}",
+      flush=True)
+assert resg < 1e-10, resg
+dA = sg._distA
+own_rows = sum(min((d + 1) * dA.nb, A.n) - d * dA.nb
+               for d in dA._my_devs if d * dA.nb < A.n)
+assert own_rows < A.n, "DistCSR holds every row on one process"
+
 print(f"FDOK {pid}", flush=True)

@@ -381,6 +381,43 @@ def test_fully_distributed_single_process():
     assert rc3 == ReturnCode.SUCCESS
     assert A.max_scaled_residual(x3, b) < 1e-10
 
+    # outer GMRES / BiCGStab over the halo-exchange DistCSR (GMResMPI /
+    # BiCGStabMPI role): the operator is built from the local block rows,
+    # never the assembled global pattern
+    for ks in (KrylovSolver.PREC_GMRES, KrylovSolver.PREC_BICGSTAB):
+        opts_k = SPOptions(krylov_solver=ks, factor_dtype="float64",
+                           refine_dtype="float64", rel_tol=1e-12)
+        sk = DistributedSparseSolver(mesh, opts_k, fully_distributed=True)
+        sk.set_distributed_csr_matrix(A.rowptr, A.colind, A.data, 0, A.n)
+        sk.reorder(24, 24)
+        xk, rck = sk.solve(b)
+        assert rck == ReturnCode.SUCCESS
+        assert A.max_scaled_residual(xk, b) < 1e-10
+        assert sk._distA is not None
+
+
+def test_distcsr_from_local_block():
+    """``DistCSR.from_local_block`` (CSRMatrixMPI constructor role,
+    CSRMatrixMPI.hpp:72): halo-exchange spmv built from block rows on a
+    multi-axis mesh matches the host CSR product, including after a
+    same-pattern value refresh and with n not divisible by the device
+    count."""
+    from strumpack_tpu.parallel.dist_spmv import DistCSR
+    from strumpack_tpu.sparse.gen import poisson2d
+
+    A = poisson2d(23)            # n = 529, not divisible by 8
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(-1, 2, 2),
+                ("b", "r", "c"))
+    d = DistCSR.from_local_block(0, A.rowptr, A.colind, A.data, A.n,
+                                 mesh, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.n)
+    assert np.abs(d.spmv_host(x) - A.spmv(x)).max() < 1e-12
+    assert np.abs(np.asarray(d.spmv(x)) - A.spmv(x)).max() < 1e-12
+    A.data = A.data * 1.7
+    d.set_local_values(A.data)
+    assert np.abs(d.spmv_host(x) - A.spmv(x)).max() < 1e-12
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_blocked_lu_cross_panel_pivoting():
