@@ -48,6 +48,9 @@ def _load():
         lib.min_degree_order.argtypes = [
             ctypes.c_int64, I64P, I64P, ctypes.c_int,
             ctypes.POINTER(I64P)]
+        lib.min_fill_order.restype = ctypes.c_int64
+        lib.min_fill_order.argtypes = [
+            ctypes.c_int64, I64P, I64P, ctypes.POINTER(I64P)]
         lib.hostsym_free.argtypes = [I64P]
         _lib = lib
     except Exception:
@@ -102,6 +105,25 @@ def min_degree_native(rowptr, colind, n, multiple=False):
     out = I64P()
     np_ = lib.min_degree_order(n, _as_i64p(rowptr), _as_i64p(colind),
                                1 if multiple else 0, ctypes.byref(out))
+    if np_ != n:
+        if np_ > 0:
+            lib.hostsym_free(out)
+        return None
+    return _take(lib, out, n)
+
+
+def min_fill_native(rowptr, colind, n):
+    """C++ exact greedy minimum local fill (MLF role).  Returns
+    perm[new]=old or None without a compiler."""
+    lib = _load()
+    if lib is None:
+        return None
+    rowptr = np.ascontiguousarray(rowptr, dtype=np.int64)
+    colind = np.ascontiguousarray(colind, dtype=np.int64)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    out = I64P()
+    np_ = lib.min_fill_order(n, _as_i64p(rowptr), _as_i64p(colind),
+                             ctypes.byref(out))
     if np_ != n:
         if np_ > 0:
             lib.hostsym_free(out)

@@ -883,6 +883,118 @@ i64 min_degree_order(i64 n, const i64* rowptr, const i64* colind,
   return np;
 }
 
+// ---------------------------------------------------------------------------
+// Minimum local fill ordering (the reference's ReorderingStrategy::MLF,
+// StrumpackOptions.hpp): greedily eliminate the vertex whose elimination
+// adds the fewest new edges.  Explicit-adjacency formulation with a lazy
+// heap: entries carry a per-vertex version counter; eliminations bump the
+// version of every vertex whose fill may have changed (the eliminated
+// vertex's neighborhood plus its neighbors' neighbors — any vertex
+// adjacent to a newly added clique edge), and stale pops recompute the
+// exact fill and re-push.  Exact greedy, no approximation.
+//
+// Returns perm[new] = old in *out_perm (malloc'd, n entries).
+// ---------------------------------------------------------------------------
+i64 min_fill_order(i64 n, const i64* rowptr, const i64* colind,
+                   i64** out_perm) {
+  std::vector<std::vector<int>> adj((size_t)n);
+  for (i64 i = 0; i < n; ++i)
+    for (i64 p = rowptr[i]; p < rowptr[i + 1]; ++p) {
+      i64 j = colind[p];
+      if (j != i && j >= 0 && j < n) {
+        adj[(size_t)i].push_back((int)j);
+        adj[(size_t)j].push_back((int)i);
+      }
+    }
+  for (i64 i = 0; i < n; ++i) {
+    auto& a = adj[(size_t)i];
+    std::sort(a.begin(), a.end());
+    a.erase(std::unique(a.begin(), a.end()), a.end());
+  }
+  std::vector<char> dead((size_t)n, 0);
+  std::vector<i64> ver((size_t)n, 0), mark((size_t)n, 0);
+  i64 stamp = 0;
+
+  auto fill_of = [&](int v) -> i64 {
+    // missing edges among live neighbors of v: for each neighbor u,
+    // stamp N(u); count pairs (u, w) in N(v) with w > u not stamped
+    auto& av = adj[(size_t)v];
+    i64 miss = 0;
+    for (size_t iu = 0; iu < av.size(); ++iu) {
+      int u = av[iu];
+      ++stamp;
+      for (int w : adj[(size_t)u]) mark[(size_t)w] = stamp;
+      for (size_t iw = iu + 1; iw < av.size(); ++iw)
+        if (mark[(size_t)av[iw]] != stamp) ++miss;
+    }
+    return miss;
+  };
+
+  struct Ent { i64 f, d; int v; i64 ver; };
+  struct Cmp {
+    bool operator()(const Ent& a, const Ent& b) const {
+      if (a.f != b.f) return a.f > b.f;
+      if (a.d != b.d) return a.d > b.d;
+      return a.v > b.v;
+    }
+  };
+  std::priority_queue<Ent, std::vector<Ent>, Cmp> heap;
+  for (i64 i = 0; i < n; ++i)
+    heap.push({fill_of((int)i), (i64)adj[(size_t)i].size(), (int)i, 0});
+
+  i64* perm = (i64*)malloc(sizeof(i64) * (size_t)std::max<i64>(n, 1));
+  i64 np = 0;
+  std::vector<int> tmp;
+  while (np < n) {
+    if (heap.empty()) {
+      for (i64 i = 0; i < n; ++i)
+        if (!dead[(size_t)i]) { dead[(size_t)i] = 1; perm[np++] = i; }
+      break;
+    }
+    Ent e = heap.top();
+    heap.pop();
+    int v = e.v;
+    if (dead[(size_t)v]) continue;
+    if (e.ver != ver[(size_t)v]) {           // stale: recompute + re-push
+      heap.push({fill_of(v), (i64)adj[(size_t)v].size(), v,
+                 ver[(size_t)v]});
+      continue;
+    }
+    dead[(size_t)v] = 1;
+    perm[np++] = v;
+    auto nbrs = adj[(size_t)v];              // copy: adj[v] mutates below
+    // clique the neighbors; remove v from each list
+    for (int u : nbrs) {
+      auto& au = adj[(size_t)u];
+      // au = (au u nbrs) \ {u, v}, sorted-merge
+      tmp.clear();
+      tmp.reserve(au.size() + nbrs.size());
+      size_t ia = 0, ib = 0;
+      while (ia < au.size() || ib < nbrs.size()) {
+        int x;
+        if (ib >= nbrs.size() || (ia < au.size() && au[ia] <= nbrs[ib])) {
+          x = au[ia];
+          if (ib < nbrs.size() && nbrs[ib] == x) ++ib;
+          ++ia;
+        } else {
+          x = nbrs[ib++];
+        }
+        if (x != u && x != v && !dead[(size_t)x]) tmp.push_back(x);
+      }
+      au = tmp;
+      ++ver[(size_t)u];
+      // fill of u's neighbors can change too (new clique edges land
+      // inside their neighborhoods)
+      for (int w : au) ++ver[(size_t)w];
+    }
+    for (int u : nbrs)
+      heap.push({fill_of(u), (i64)adj[(size_t)u].size(), u,
+                 ver[(size_t)u]});
+  }
+  *out_perm = perm;
+  return np;
+}
+
 void hostsym_free(i64* p) { free(p); }
 
 }  // extern "C"

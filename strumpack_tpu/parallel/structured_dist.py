@@ -170,12 +170,40 @@ class DistBLR(StructuredMatrix):
                    * self._diag.dtype.itemsize)
 
 
+def _node_constrain(mesh: Mesh):
+    """Sharding-constraint callback over the node/block-pair axis of
+    level-batched structured arrays: shard the largest axis divisible by
+    the device count (skipping small arrays — constraining them forces
+    pointless reshards).  The standalone-facade analog of
+    parallel/spmd._struct_constrain."""
+    import math
+    axes = tuple(mesh.axis_names)
+    ndev = int(math.prod(mesh.shape.values()))
+
+    def con(x):
+        if ndev <= 1 or getattr(x, "size", 0) < (1 << 18):
+            return x
+        best, bestlen = -1, 0
+        for ax, ln in enumerate(getattr(x, "shape", ())):
+            if ln % ndev == 0 and ln >= 2 * ndev and ln > bestlen:
+                best, bestlen = ax, ln
+        if best < 0:
+            return x
+        spec = [None] * x.ndim
+        spec[best] = axes
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+
+    return con
+
+
 class DistHSS(StructuredMatrix):
     """HSSMatrixMPI role: HSS built under jit from the 2D-sharded
     operand; the leaf-block batch (the bulk of compression work) is
-    sharded over the mesh, upper tree levels shrink geometrically and
-    replicate — the analog of the reference's per-level
-    sub-communicators (HSSMatrixMPI.compress.hpp:36-188)."""
+    sharded over the mesh via the node-axis ``constrain`` hook, upper
+    tree levels shrink geometrically and replicate — the analog of the
+    reference's per-level sub-communicators
+    (HSSMatrixMPI.compress.hpp:36-188)."""
 
     def __init__(self, A, mesh: Mesh, opts: StructuredOptions):
         from ..structured.hss import HSSMatrix
@@ -183,11 +211,12 @@ class DistHSS(StructuredMatrix):
         A = jnp.asarray(A)
         self.rows = self.cols = A.shape[0]
         sh = _shard2d(mesh)
+        con = _node_constrain(mesh)
 
         def build(A):
             H = HSSMatrix(A, leaf_size=opts.leaf_size,
                           max_rank=opts.max_rank or opts.leaf_size,
-                          rel_tol=opts.rel_tol)
+                          rel_tol=opts.rel_tol, constrain=con)
             H.factor()
             return H
 
@@ -209,6 +238,61 @@ class DistHSS(StructuredMatrix):
         return self.H.memory()
 
 
+class DistHODLR(StructuredMatrix):
+    """HODLRMatrixMPI role (HODLR/HODLRMatrix.hpp MPI ctor): HODLR
+    compression + SMW factorization under jit with the block-pair-axis
+    ``constrain`` hook partitioning every level's work over the mesh."""
+
+    _cls = "hodlr"
+
+    def __init__(self, A, mesh: Mesh, opts: StructuredOptions):
+        from ..structured.hodbf import HODBFMatrix
+        from ..structured.hodlr import HODLRMatrix
+        self.mesh = mesh
+        A = jnp.asarray(A)
+        self.rows = self.cols = A.shape[0]
+        sh = _shard2d(mesh)
+        con = _node_constrain(mesh)
+        cls = HODBFMatrix if self._cls == "hodbf" else HODLRMatrix
+
+        def build(A):
+            return cls(A, leaf_size=opts.leaf_size,
+                       max_rank=opts.max_rank or opts.leaf_size,
+                       rel_tol=opts.rel_tol, constrain=con)
+
+        self.H = jax.jit(build, in_shardings=sh)(A)
+        self._solver = None
+
+    def mult(self, x):
+        return jax.jit(lambda H, x: H.matvec(x))(self.H, jnp.asarray(x))
+
+    def factor(self):
+        if self._solver is None:
+            self.H.factor()
+            self._solver = True
+
+    def solve(self, b):
+        self.factor()
+        return self.H.solve(jnp.asarray(b))
+
+    def rank(self):
+        return self.H.max_rank()
+
+    def memory(self):
+        return self.H.memory()
+
+
+class DistHODBF(DistHODLR):
+    """Distributed HODBF (butterfly-compressed HODLR with the TRUE
+    direct factorization, the ButterflyPACK-MPI role)."""
+
+    _cls = "hodbf"
+
+    def solve(self, b):
+        self.factor()
+        return self.H.solve_direct(jnp.asarray(b))
+
+
 def construct_from_dense_dist(A, mesh: Mesh,
                               opts: StructuredOptions | None = None,
                               **kw) -> StructuredMatrix:
@@ -219,6 +303,10 @@ def construct_from_dense_dist(A, mesh: Mesh,
         return DistBLR(A, mesh, opts)
     if opts.type == Type.HSS:
         return DistHSS(A, mesh, opts)
+    if opts.type == Type.HODLR:
+        return DistHODLR(A, mesh, opts)
+    if opts.type in (Type.HODBF, Type.BUTTERFLY):
+        return DistHODBF(A, mesh, opts)
     raise ValueError(f"no distributed construction for {opts.type}")
 
 

@@ -101,7 +101,15 @@ def mmd_order(rowptr, colind, n) -> np.ndarray:
 def mlf_order(rowptr, colind, n) -> np.ndarray:
     """Minimum local fill: greedily eliminate the vertex whose elimination
     creates the fewest new edges (the reference's MLF option,
-    StrumpackOptions.hpp ReorderingStrategy::MLF)."""
+    StrumpackOptions.hpp ReorderingStrategy::MLF).
+
+    Native C++ exact-greedy path first (hostsym.cpp min_fill_order, lazy
+    heap with per-vertex version counters — usable at 10^4-10^5 scale);
+    this Python version remains as the no-compiler fallback."""
+    from ...native import min_fill_native
+    p = min_fill_native(rowptr, colind, n)
+    if p is not None:
+        return p
     adj = [set() for _ in range(n)]
     for i in range(n):
         for p in range(rowptr[i], rowptr[i + 1]):

@@ -193,6 +193,33 @@ def test_all_reordering_methods():
     assert fills["mlf"] < fills["natural"]
 
 
+def test_native_mlf_matches_greedy_quality():
+    """Native C++ exact-greedy minimum local fill (hostsym.cpp
+    min_fill_order — the MLF role at usable scale): valid permutation,
+    fill no worse than AMD on a 2D Poisson grid (exact local-fill greedy
+    beats degree-based greedies here)."""
+    import scipy.sparse.linalg as spl
+    from strumpack_tpu.native import min_fill_native
+    from strumpack_tpu.sparse.ordering.amd import amd_order
+
+    A = poisson2d(24)
+    p = min_fill_native(A.rowptr, A.colind, A.n)
+    if p is None:
+        import pytest
+        pytest.skip("no C++ compiler for the native path")
+    assert sorted(p.tolist()) == list(range(A.n))
+    S = A.to_scipy().tocsc()
+
+    def lu_nnz(perm):
+        Sp = S[perm, :][:, perm].tocsc()
+        f = spl.splu(Sp, permc_spec="NATURAL",
+                     options=dict(SymmetricMode=True))
+        return f.L.nnz + f.U.nnz
+
+    pa = amd_order(A.rowptr, A.colind, A.n)
+    assert lu_nnz(p) <= 1.05 * lu_nnz(pa)
+
+
 def test_all_matching_jobs():
     """MatchingJob parity (StrumpackOptions.hpp:120 / MC64 jobs 1-5 +
     AWPM): on a column-permuted Poisson (zero diagonal), every matching
