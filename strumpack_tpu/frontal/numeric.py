@@ -613,8 +613,13 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None,
             H.factor(fixed=True)
         elif bp.hss:
             from ..structured.hss import HSSMatrix
+            # constrain only on the unbatched (nf == 1) path: the mesh
+            # 'struct' mode distributing ONE huge dense-built HSS front
+            # over the node axis (FrontHSSMPI role)
             H = HSSMatrix(F0[:sH, :sH], leaf_size=bp.hss_leaf,
-                          max_rank=bp.hss_rank, rel_tol=hss_tol)
+                          max_rank=bp.hss_rank, rel_tol=hss_tol,
+                          constrain=(constrain if F.shape[0] == 1
+                                     else None))
         else:
             from ..structured.hodlr import HODLRMatrix
             # constrain only reaches the unbatched (nf == 1) path — the

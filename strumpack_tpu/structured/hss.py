@@ -62,7 +62,15 @@ def _trunc_basis(X, tol, r):
 class HSSMatrix:
     """Compressed HSS form of a square matrix (device arrays)."""
 
-    def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6):
+    def __init__(self, A, leaf_size=64, max_rank=None, rel_tol=1e-6,
+                 constrain=None):
+        """``constrain`` is an optional GSPMD sharding-constraint
+        callback applied to every node-axis-batched array during
+        compression and ULV factorization: under a mesh it partitions
+        the per-node SVD/QR/matmul work across devices, distributing ONE
+        huge dense-built HSS front (the FrontHSSMPI role for the
+        dense-constructed path, FrontHSSMPI.cpp — the sampling-built
+        analog lives in hss_sample.py 'samp' mode)."""
         A = jnp.asarray(A)
         self.m = A.shape[0]
         self.t = int(leaf_size)
@@ -71,6 +79,7 @@ class HSSMatrix:
         self.r = min(self.r, self.t)
         self.rel_tol = rel_tol
         self.dtype = A.dtype
+        self._constrain = constrain if constrain is not None else _ident
         self._compress(A)
         self._factored = False
 
@@ -85,25 +94,26 @@ class HSSMatrix:
         else:
             Ap = A
         nl = 2 ** L  # leaves
-        self.D = Ap.reshape(nl, t, nl, t).transpose(0, 2, 1, 3)[
-            jnp.arange(nl), jnp.arange(nl)]  # [nl, t, t]
+        con = self._constrain
+        self.D = con(Ap.reshape(nl, t, nl, t).transpose(0, 2, 1, 3)[
+            jnp.arange(nl), jnp.arange(nl)])  # [nl, t, t]
 
         # ---- leaf row/col bases
         blocks = Ap.reshape(nl, t, mp)
         # zero own columns for the off-diagonal (Hankel) block row
         col_owner = jnp.repeat(jnp.arange(nl), t)
         mask = (col_owner[None, :] != jnp.arange(nl)[:, None])
-        rows_off = blocks * mask[:, None, :]
+        rows_off = con(blocks * mask[:, None, :])
         U, rksU = _trunc_basis(rows_off, tol, r)         # [nl, t, r]
-        cols_off = (Ap.T.reshape(nl, t, mp) * mask[:, None, :])
+        cols_off = con(Ap.T.reshape(nl, t, mp) * mask[:, None, :])
         V, rksV = _trunc_basis(cols_off.conj(), tol, r)  # [nl, t, r]
         self.Uleaf, self.Vleaf = U, V
         self.ranks = [(rksU, rksV)]
 
         # reduced rows/cols and explicit big bases
-        Rr = jnp.einsum("ntr,ntm->nrm", U.conj(), rows_off)   # [nl, r, mp]
-        Cc = jnp.einsum("nmt,ntr->nmr", cols_off.conj().transpose(0, 2, 1)
-                        .conj(), V)  # A(:,Ii)V with rows Ii zeroed
+        Rr = con(jnp.einsum("ntr,ntm->nrm", U.conj(), rows_off))  # [nl,r,mp]
+        Cc = con(jnp.einsum("nmt,ntr->nmr", cols_off.conj()
+                            .transpose(0, 2, 1).conj(), V))
         Ubig = U  # [nodes, block, r]
         Vbig = V
         self.Ru, self.Rv, self.B12, self.B21 = [], [], [], []
@@ -125,15 +135,15 @@ class HSSMatrix:
             S = jnp.concatenate([Rr[i1], Rr[i2]], axis=1)  # [half, 2r, mp]
             col_owner = jnp.repeat(jnp.arange(nodes), 2 * blk)
             maskn = (col_owner[None, :] != jnp.arange(nodes)[:, None])
-            S = S * maskn[:, None, :]
+            S = con(S * maskn[:, None, :])
             Ru, _ = _trunc_basis(S, tol, r)                # [half, 2r, r]
-            Rr = jnp.einsum("hkr,hkm->hrm", Ru.conj(), S)
+            Rr = con(jnp.einsum("hkr,hkm->hrm", Ru.conj(), S))
             # Cc is [2*nodes, mp, r] -> stack the two children along the
             # rank axis: [half, mp, 2r]
             T = jnp.concatenate([Cc[i1], Cc[i2]], axis=2)
-            T = T * maskn[:, :, None]
+            T = con(T * maskn[:, :, None])
             Rv, _ = _trunc_basis(T.conj().transpose(0, 2, 1), tol, r)
-            Cc = jnp.einsum("hmk,hkr->hmr", T, Rv)
+            Cc = con(jnp.einsum("hmk,hkr->hmr", T, Rv))
             self.Ru.append(Ru)
             self.Rv.append(Rv)
             # explicit big bases for the next level up
@@ -201,13 +211,14 @@ class HSSMatrix:
         D = self.D      # [nodes, m_l, m_l]
         U, V = self.Uleaf, self.Vleaf
         self._ulv = []
+        con = getattr(self, "_constrain", None) or _ident
         for lev in range(L, 0, -1):
             nodes = 2 ** lev
             ml = D.shape[1]
             Qu, RU = jnp.linalg.qr(U, mode="complete")  # U = Qu [RU;0]
             Qv, RV = jnp.linalg.qr(V, mode="complete")
-            Dp = jnp.einsum("nij,njk,nkl->nil", Qu.conj().transpose(0, 2, 1),
-                            D, Qv)
+            Dp = con(jnp.einsum("nij,njk,nkl->nil",
+                                Qu.conj().transpose(0, 2, 1), con(D), Qv))
             D11 = Dp[:, :r, :r]
             D12 = Dp[:, :r, r:]
             D21 = Dp[:, r:, :r]
@@ -330,7 +341,12 @@ def _hss_unflatten(aux, children):
     return h
 
 
-_HSS_STATIC = ("m", "t", "mp", "L", "r", "rel_tol", "dtype", "_factored")
+_HSS_STATIC = ("m", "t", "mp", "L", "r", "rel_tol", "dtype", "_factored",
+               "_constrain")
+
+
+def _ident(x):
+    return x
 
 jax.tree_util.register_pytree_node(HSSMatrix, _hss_flatten, _hss_unflatten)
 

@@ -160,6 +160,7 @@ def hss_from_sampling(mult, elem, m, leaf_size=64, max_rank=32,
     H.rel_tol = rel_tol
     H.dtype = jnp.zeros((), dtype).dtype
     H._factored = False
+    H._constrain = constrain
     H.D = D
     H.Uleaf = X
     H.Vleaf = Y
@@ -281,6 +282,7 @@ def hss_from_neighbors(elem, ann, m, leaf_size=64, max_rank=32,
     H.rel_tol = rel_tol
     H.dtype = jnp.zeros((), dtype).dtype
     H._factored = False
+    H._constrain = None
     H.D = D
     H.Uleaf = X
     H.Vleaf = X.conj()
