@@ -1748,6 +1748,18 @@ def factorize(pdev: PlanDev, Avals, thresh=0.0, dtype=None,
             if _log:
                 print(f"# factorize: exec group {gi} dispatched"
                       f" {time.perf_counter()-t_phase:.1f}s", flush=True)
+            if os.environ.get("STRUMPACK_TPU_TIME_GROUPS"):
+                # per-group WALL timing (synced — perf diagnosis only;
+                # breaks dispatch pipelining so keep it off in production)
+                from ..utils.sync import device_sync
+                t_sync = time.perf_counter()
+                device_sync(cb_list if cb_list else
+                            jax.tree_util.tree_leaves(out)[:1])
+                shapes = [(bd.bp.nf, bd.bp.s_pad, bd.bp.u_pad)
+                          for li in lis for bd in pdev.levels[li]]
+                print(f"# timegroup {gi} levels {lis} "
+                      f"{time.perf_counter()-t_sync:.4f}s buckets={shapes}",
+                      flush=True)
             out = _remap_keys(out, lis)
             for k in tree:
                 tree[k].update(out[k])
