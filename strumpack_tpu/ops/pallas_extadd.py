@@ -51,15 +51,29 @@ from jax.experimental.pallas import tpu as pltpu
 CH = 64  # parent-slot chunk (rows of one grid step; MXU tile fraction)
 
 
+def _fits_vmem_whole(u: int) -> bool:
+    """Small-child variant: the whole [u, u] CB block lives in VMEM with
+    double buffering — u=1536 blew the 24 MB scoped-vmem limit at 50^3."""
+    return u * u * 4 * 2 <= 14 * 2**20
+
+
 def _supports(p: int, u: int, dtype=None) -> bool:
     """Authoritative shape/dtype gate for the kernel (the plan-time caller
-    passes dtype=None: dtype is only known at trace time).  The child CB
-    block [u, u] must fit VMEM with double buffering — u=1536 blew the
-    24 MB scoped-vmem limit at 50^3 (the gather path serves huge
-    children)."""
-    return (p % CH == 0 and u >= CH and u % 8 == 0
-            and u * u * 4 * 2 <= 14 * 2**20
-            and (dtype is None or jnp.dtype(dtype) == jnp.float32))
+    passes dtype=None: dtype is only known at trace time).  Small
+    children keep the whole CB block VMEM-resident; big children (the
+    4096-wide top-of-tree fronts where the XLA gather path measured 6x
+    off the HBM roofline, PERF.md r5 forensics) take the windowed-DMA
+    variant: C stays in HBM and each grid step copies only the [w, u]
+    row window it references."""
+    if not (p % CH == 0 and u >= CH and u % 8 == 0
+            and (dtype is None or jnp.dtype(dtype) == jnp.float32)):
+        return False
+    if _fits_vmem_whole(u):
+        return True
+    # windowed variant VMEM: S [w, u] + Gt [u, CH] + F in/out [CH, p]
+    w = _win(u)
+    need = (w * u + u * CH + 2 * CH * p) * 4
+    return need <= 14 * 2**20
 
 
 def _win(u: int) -> int:
@@ -147,6 +161,45 @@ def _ea_kernel(idx_ref, clo8_ref, pos_ref, C_ref, Fin_ref, Fout_ref, gt_scr,
     Fout_ref[0] = Fin_ref[0] + jnp.concatenate(tiles, axis=1)
 
 
+def _ea_kernel_big(idx_ref, clo8_ref, pos_ref, C_ref, Fin_ref, Fout_ref,
+                   s_scr, gt_scr, sem, *, u, p):
+    """Windowed-DMA variant for children too big for VMEM: C stays in
+    HBM (memory_space=ANY) and each (front, row-chunk) grid step copies
+    only the [w, u] row window its one-hot selectors reference."""
+    f = pl.program_id(0)
+    mi = pl.program_id(1)
+    nch = p // CH
+    w = _win(u)
+    dtype = Fin_ref.dtype
+
+    def selector(m, clo):
+        pv = pos_ref[0, pl.ds(m, 1), :]                      # [1, CH]
+        pb = jnp.broadcast_to(pv, (w, CH))
+        r = jax.lax.broadcasted_iota(jnp.int32, (w, CH), 0)
+        return ((pb - clo == r) & (pb >= 0)).astype(dtype)
+
+    clo_i = clo8_ref[f, mi] * 8
+    cp = pltpu.make_async_copy(
+        C_ref.at[idx_ref[f], pl.ds(clo_i, w), :], s_scr, sem)
+    cp.start()
+    OT_i = selector(mi, clo_i)
+    cp.wait()
+    gt_scr[...] = jax.lax.dot_general(
+        s_scr[...], OT_i, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype)
+    tiles = []
+    for mj in range(nch):
+        clo_j = clo8_ref[f, mj] * 8
+        OT_j = selector(mj, clo_j)
+        S2 = gt_scr[pl.ds(clo_j, w), :]                      # [w(c), CH(i)]
+        tiles.append(jax.lax.dot_general(
+            S2, OT_j, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype))
+    Fout_ref[0] = Fin_ref[0] + jnp.concatenate(tiles, axis=1)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def extend_add_pallas(F, C, idx, pos_m, clo, *, interpret=False):
     """F[f] += C[idx[f]][pos, pos] for one (side, child-pair); F aliased.
@@ -160,6 +213,32 @@ def extend_add_pallas(F, C, idx, pos_m, clo, *, interpret=False):
     nfc, u, _ = C.shape
     nch = p // CH
     idx_c = jnp.maximum(idx, 0)
+    if not _fits_vmem_whole(u):
+        pos3 = pos_m.reshape(nf, nch, CH)
+        w = _win(u)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nf, nch),
+            in_specs=[
+                pl.BlockSpec((1, nch, CH),
+                             lambda f, mi, idx_r, clo_r: (f, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec((1, CH, p),
+                             lambda f, mi, idx_r, clo_r: (f, mi, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, CH, p),
+                                   lambda f, mi, idx_r, clo_r: (f, mi, 0)),
+            scratch_shapes=[pltpu.VMEM((w, u), F.dtype),
+                            pltpu.VMEM((u, CH), F.dtype),
+                            pltpu.SemaphoreType.DMA],
+        )
+        return pl.pallas_call(
+            partial(_ea_kernel_big, u=u, p=p),
+            out_shape=jax.ShapeDtypeStruct(F.shape, F.dtype),
+            grid_spec=grid_spec,
+            input_output_aliases={4: 0},
+            interpret=interpret,
+        )(idx_c, clo, pos3, C, F)
     # pos_m arrives [nf, p]; a (1, p) block would violate Mosaic's rule that
     # the last two block dims be divisible by (8, 128) or equal the array
     # dims (nf is arbitrary).  Reshape to [nf, nch, CH]: the trailing block
