@@ -610,7 +610,8 @@ def _hss_front_bucket(F, bp, hss_tol, dtype, constrain=None,
                             max_rank=bp.hss_rank, rel_tol=hss_tol,
                             constrain=(constrain if F.shape[0] == 1
                                        else None))
-            H.factor(fixed=True)
+            H.factor(fixed=True,
+                     dense_cutoff=getattr(bp, "bf_cutoff", 256))
         elif bp.hss:
             from ..structured.hss import HSSMatrix
             # constrain only on the unbatched (nf == 1) path: the mesh

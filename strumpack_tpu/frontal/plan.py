@@ -165,6 +165,7 @@ class BucketPlan:
     # bpack_factor role, FrontHODLR.cpp:442-449 + HODLRWrapper) instead
     # of HODLR-SMW — fixed-rank/traceable inside the jitted programs
     bf_direct: bool = False
+    bf_cutoff: int = 256         # dense node cutoff inside the bf factor
     # sampling-constructed HSS root front (FrontHSS::random_sampling role,
     # FrontHSS.cpp:241): never assembles the dense front; mult/elem closures
     # read the sparse block (ELL) + the children's CBs directly
@@ -302,6 +303,8 @@ def _assign_bucket_compression(bp: BucketPlan, compression) -> None:
             # route F11 through the true direct butterfly factorization
             # when the HODLR tree has at least one level
             bp.bf_direct = True
+            bp.bf_cutoff = int(getattr(compression,
+                                       "hodbf_dense_cutoff", 256))
         if bp.hodbf and up > 0:
             # even butterfly depth usable by the rectangular
             # [s_pad, u_pad] off-diagonal blocks (bf_depth2)

@@ -191,6 +191,16 @@ class SPOptions:
     # factorization (HODBFMatrix.factor, bpack_factor role) instead of
     # HODLR-SMW when the front's HODLR tree has >= 1 level
     hodbf_direct: bool = True
+    # node sizes at or below this factor densely inside the butterfly
+    # factorization (HODBFMatrix.factor dense_cutoff): larger values
+    # shrink the factor PROGRAM (the deep butterfly solve chains are
+    # what makes the XLA compile of HODBF factor programs expensive —
+    # re-paid per process on the remote-compile chip backend) at the
+    # cost of denser G/W blocks; chip ablation (PERF.md r5): helmholtz
+    # 32^3 cold factor 439 s (256) -> 336 s (512) -> 194 s (1024) at
+    # identical residual/its — 1024 is the default; lower it for huge
+    # fronts where the deep butterfly chains pay asymptotically
+    hodbf_dense_cutoff: int = 1024
     # complex scalars via the real-equivalent 2x2-block expansion
     # (CSRMatrix.to_real_interleaved): the TPU chip backend has no
     # complex arithmetic, so complex64/128 inputs factor as interleaved
@@ -271,6 +281,7 @@ class SPOptions:
             "hodlr_leaf_size": ("hss", "leaf_size"),
             "hodlr_max_rank": ("hss", "max_rank"),
             "hodlr_butterfly_levels": "hodlr_butterfly_levels",
+            "sp_hodbf_dense_cutoff": "hodbf_dense_cutoff",
             "sp_hodlr_min_sep_size": "hodlr_min_sep_size",
             "sp_lossy_min_sep_size": "lossy_min_sep_size",
         }
