@@ -155,9 +155,14 @@ def _hodbf_repl_flops(bp, ndev) -> float:
         lvl_fl = 2 * half * 8.0 * ml * ml * min(2 * r, ml)
         if not (half % ndev == 0 or ml * ml * half >= (1 << 20)):
             fl += lvl_fl
-    # factor chain: dense-cutoff LUs + W assemblies, replicated
-    cutoff = 256.0
-    fl += (mp / cutoff) * (2.0 / 3.0) * cutoff ** 3 * 4
+    # factor chain: dense-cutoff LUs + W assemblies — replicated below
+    # the >=1M-element constraint gate, sharded above it
+    cutoff = float(min(getattr(bp, "bf_cutoff", 256), mp))
+    chain = max(mp / cutoff, 1.0) * (2.0 / 3.0) * cutoff ** 3 * 4
+    if cutoff * cutoff < (1 << 20):
+        fl += chain
+    else:
+        fl += chain / ndev
     return bp.nf * fl
 
 
@@ -175,9 +180,9 @@ def _samp_repl_flops(bp, ndev) -> float:
     fl = 0.0
     for lev in range(L + 1):
         nl = max(mp // (t * 2 ** lev), 1)
-        # matches the _samp_constrain gate (ln % ndev == 0, ln >= 2*ndev):
+        # matches the _samp_constrain gate (ln % ndev == 0, ln >= ndev):
         # those levels' node-batched IDs DO shard on the leading axis
-        if nl % ndev == 0 and nl >= 2 * ndev:
+        if nl % ndev == 0 and nl >= ndev:
             continue
         fl += nl * 4.0 * t * d * d * 2     # two ID/QR sweeps per level
     return bp.nf * fl
@@ -203,7 +208,7 @@ def _samp_constrain(sp):
         prefer = (0, nd - 1) if nd >= 3 else (nd - 1,)
         for ax in prefer:
             ln = shp[ax]
-            if ln % ndev == 0 and ln >= 2 * ndev:
+            if ln % ndev == 0 and ln >= ndev:
                 spec = [None] * nd
                 spec[ax] = axes
                 return jax.lax.with_sharding_constraint(
