@@ -499,10 +499,19 @@ def main_with_retry():
             print(f"# skipping {config}: bench budget exhausted "
                   f"({remaining:.0f}s left)", file=sys.stderr)
             continue
+        env_cfg = {**extra_env,
+                   "BENCH_REMAINING_S": str(int(remaining - 30))}
+        if config == "hodlr100":
+            # late-r5 regression watch: the n=10^6 plan OOMs at the
+            # top-of-tree factor group with the default 16 GB budget
+            # (independent of the extend-add path and the chunk cap) —
+            # a tighter planner budget forces smaller byte-aware split
+            # groups; override with STRUMPACK_TPU_HBM_GB if set
+            env_cfg.setdefault("STRUMPACK_TPU_HBM_GB",
+                               os.environ.get("STRUMPACK_TPU_HBM_GB",
+                                              "13"))
         line, err = _run_child(
-            config, timeout=remaining - 30,
-            env_extra={**extra_env,
-                       "BENCH_REMAINING_S": str(int(remaining - 30))})
+            config, timeout=remaining - 30, env_extra=env_cfg)
         if line is not None:
             print(json.dumps(line), flush=True)  # flushed when measured
         else:
