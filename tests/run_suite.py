@@ -31,10 +31,21 @@ def main() -> int:
     for f in files:
         name = os.path.basename(f)
         t = time.time()
-        r = subprocess.run(
-            [sys.executable, "-m", "pytest", f, "-q", "--no-header",
-             *extra],
-            cwd=repo)
+        # one retry per failed file: the multi-process jax.distributed
+        # tests (test_dist.py awkward-P) can time out under full CPU
+        # contention (e.g. a concurrent chip benchmark) but pass in
+        # isolation — the ctest-style retry keeps a loaded box from
+        # reading as a code failure (real failures fail twice)
+        for attempt in (0, 1):
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", f, "-q", "--no-header",
+                 *extra],
+                cwd=repo)
+            if r.returncode == 0:
+                break
+            if attempt == 0:
+                print(f"[suite] {name}: rc={r.returncode}, retrying once",
+                      flush=True)
         dt = time.time() - t
         status = "ok" if r.returncode == 0 else f"FAIL rc={r.returncode}"
         print(f"[suite] {name}: {status} ({dt:.1f}s)", flush=True)
